@@ -1,0 +1,142 @@
+"""Optimizer factory: adam/adamw with torch-matching group semantics.
+
+Replicates the reference's parameter grouping effective behavior
+(``/root/reference/models/vit_som.py:127-157``, ``tools/utils.py:28-71``):
+
+- ViT backbone params: weight_decay = 0 for 1-D tensors, cfg value otherwise
+  (MAE-style no-decay on norms/biases).
+- The appended group (SOM prototypes + cls head) carries NO explicit
+  weight_decay in the reference, so torch.optim.AdamW silently applies its
+  default 1e-2 — replicated via ``default_group_weight_decay``.
+- Layer-wise lr scales are computed by the reference but never consumed by
+  torch (``tools/utils.py:57-66`` store ``lr_scale`` which torch ignores);
+  parity default is OFF, with ``apply_layer_decay=True`` enabling true LRD.
+- Baselines (swin/deit/mobile_vit) pass one flat group with weight_decay for
+  every tensor including norms — replicated (``models/swin.py:63-68``).
+
+AdamW step matches torch: p <- p - lr * (adam_update + wd * p), with torch's
+bias-corrected moments and eps placement.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import traverse_util
+
+from vitsom_tpu.config import Config
+
+
+def _flat_items(params):
+    return traverse_util.flatten_dict(params, sep="/")
+
+
+def _unflatten(flat: Dict[str, Any]):
+    return traverse_util.unflatten_dict(flat, sep="/")
+
+
+def vit_layer_id(path: str, num_layers: int) -> int:
+    """flax path -> layer index, mirroring ``get_layer_id_for_vit``
+    (``tools/utils.py:73-84``). num_layers = depth + 1."""
+    parts = path.split("/")
+    # path like "vit/block_3/..." or "vit/cls_token" or "vit/patch_proj/..."
+    name = parts[1] if parts[0] == "vit" else parts[0]
+    if name in ("cls_token",):
+        return 0
+    if name.startswith("patch_proj"):
+        return 0
+    if name.startswith("block_"):
+        return int(name.split("_")[1]) + 1
+    return num_layers
+
+
+def build_weight_decay_map(params, cfg: Config):
+    """Per-leaf decoupled weight-decay coefficients."""
+    opt = cfg.optimizer
+    flat = _flat_items(params)
+    out = {}
+    for path, leaf in flat.items():
+        if cfg.model_arch in ("vit_som", "vit"):
+            if path.startswith("vit/"):
+                out[path] = 0.0 if leaf.ndim == 1 else opt.weight_decay
+            else:
+                # prototypes / cls head: torch AdamW default group wd
+                out[path] = opt.default_group_weight_decay
+        elif cfg.model_arch in ("swin", "deit", "mobile_vit"):
+            out[path] = opt.weight_decay
+        else:  # desom: adam, no decoupled decay
+            out[path] = 0.0
+    return _unflatten(out)
+
+
+def build_lr_scale_map(params, cfg: Config):
+    """Per-leaf layer-decay multipliers (only applied when
+    ``apply_layer_decay`` is set; parity default keeps them at 1.0)."""
+    opt = cfg.optimizer
+    flat = _flat_items(params)
+    if not opt.apply_layer_decay or cfg.model_arch not in ("vit_som", "vit"):
+        return _unflatten({p: 1.0 for p in flat})
+    num_layers = cfg.vit.depth + 1
+    out = {}
+    for path in flat:
+        if path.startswith("vit/"):
+            lid = vit_layer_id(path, num_layers)
+            out[path] = opt.layer_decay ** (num_layers - lid)
+        else:
+            out[path] = 1.0
+    return _unflatten(out)
+
+
+def add_decayed_weights_tree(wd_tree) -> optax.GradientTransformation:
+    """Like optax.add_decayed_weights but with a per-leaf coefficient tree."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("params required for weight decay")
+        updates = jax.tree_util.tree_map(
+            lambda u, p, wd: u + wd * p, updates, params, wd_tree
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def scale_by_tree(scale_tree) -> optax.GradientTransformation:
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        updates = jax.tree_util.tree_map(lambda u, s: u * s, updates, scale_tree)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def base_learning_rate(cfg: Config) -> float:
+    """lr * batch_size / 256 for vit_som/vit (``models/vit_som.py:149``);
+    raw lr for desom's adam (``models/desom.py:101-103``) and the baselines
+    (``models/swin.py:63-68``, ``models/deit.py:83-88``)."""
+    if cfg.model_arch in ("vit_som", "vit"):
+        return cfg.optimizer.lr * cfg.batch_size / 256.0
+    return cfg.optimizer.lr
+
+
+def make_optimizer(
+    cfg: Config, params, lr_schedule: Callable[[jnp.ndarray], jnp.ndarray]
+) -> optax.GradientTransformation:
+    opt = cfg.optimizer
+    chain = [
+        optax.scale_by_adam(b1=opt.beta_1, b2=opt.beta_2, eps=opt.eps, eps_root=0.0)
+    ]
+    if opt.type == "adamw":
+        chain.append(add_decayed_weights_tree(build_weight_decay_map(params, cfg)))
+    if opt.apply_layer_decay:
+        chain.append(scale_by_tree(build_lr_scale_map(params, cfg)))
+    chain.append(optax.scale_by_learning_rate(lr_schedule))  # scales by -lr
+    return optax.chain(*chain)

@@ -1,0 +1,287 @@
+"""Jitted train/eval steps for every model family.
+
+The reference delegates its training loop to PyTorch-Lightning
+(``/root/reference/models/vit_som.py:80-105``, ``models/desom.py:56-75``);
+here the entire step — forward, schedules, loss, backward, optimizer — is a
+single pure function compiled once by XLA and executed device-resident, with
+the global step counter living in the TrainState. No Python runs per step.
+
+Loss recipes replicated exactly:
+- vit_som clustering: L1(recon, x) + gamma(t) * som_loss, gamma ramping
+  linearly over the first half of total steps (``models/vit_som.py:89-101``)
+- vit_som classification: CE(label_smoothing) + gamma(t) * som_loss
+  (``models/vit_som.py:94-98``)
+- desom clustering: L1(dec(z), x_flat) + gamma * som_loss (constant gamma,
+  ``models/desom.py:133-158``)
+- desom classification: CE + gamma * (som_loss + recon_loss)
+- vit/swin/deit/mobile_vit: CE (+ smoothing per config)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from vitsom_tpu.config import Config
+from vitsom_tpu.som import layer as som
+from vitsom_tpu.train import schedules
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Optional[Any] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class StepStatics:
+    """Compile-time constants derived from dataset size + config."""
+
+    steps_per_epoch: int  # floor(n_train / batch) — drop_last semantics
+    total_epochs: int
+    dataset_len: int
+    batch_size: int
+
+    @property
+    def total_steps(self) -> int:
+        return self.steps_per_epoch * self.total_epochs
+
+    @property
+    def ramp_up_end_step(self) -> int:
+        # estimated_stepping_batches // 2 (``models/vit_som.py:89``)
+        return self.total_steps // 2
+
+    @property
+    def total_iterations_float(self) -> float:
+        # temperature denominator (``models/som_layer.py:131``)
+        return som.total_iterations(self.dataset_len, self.batch_size, self.total_epochs)
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, smoothing: float = 0.0):
+    """torch nn.CrossEntropyLoss(label_smoothing=s) with mean reduction."""
+    num_classes = logits.shape[-1]
+    one_hot = jax.nn.one_hot(labels, num_classes)
+    if smoothing > 0.0:
+        one_hot = optax.smooth_labels(one_hot, smoothing)
+    return jnp.mean(optax.softmax_cross_entropy(logits, one_hot))
+
+
+def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(pred - target))
+
+
+# ---------------------------------------------------------------------------
+# ViT-SOM
+# ---------------------------------------------------------------------------
+
+
+def make_vit_som_train_step(
+    cfg: Config,
+    model,
+    tx: optax.GradientTransformation,
+    statics: StepStatics,
+    lr_schedule: Callable,
+):
+    grid_d2 = jnp.asarray(som.grid_sq_distances(cfg.som.map_size, cfg.som.topology))
+    total_iters = statics.total_iterations_float
+    ramp_end = statics.ramp_up_end_step
+    classification = cfg.classification
+    smoothing = cfg.optimizer.smoothing
+    gamma = cfg.gamma
+
+    def loss_fn(params, batch, step):
+        x, y = batch["image"], batch["label"]
+        cls_tok, recon, logits, distances, bmu_idx = model.apply({"params": params}, x)
+
+        temperature = som.temperature_schedule(
+            step, total_iters, cfg.som.t_max, cfg.som.t_min
+        )
+        weights = som.neighborhood_weights(bmu_idx, grid_d2, temperature)
+        som_l = som.som_loss(jax.lax.stop_gradient(weights), distances)
+        cur_gamma = schedules.gamma_ramp(step, gamma, ramp_end)
+
+        if classification:
+            cls_l = cross_entropy(logits, y, smoothing)
+            total = cls_l + cur_gamma * som_l
+            metrics = {"train/cls_loss": cls_l}
+        else:
+            recon_l = l1_loss(recon, x)
+            total = recon_l + cur_gamma * som_l
+            metrics = {"train/recon_loss": recon_l}
+        metrics.update(
+            {
+                "train/som_loss": som_l,
+                "train/total_loss": total,
+                "hp/gamma": cur_gamma,
+                "hp/temperature": temperature,
+            }
+        )
+        return total, metrics
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, state.step
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["hp/lr"] = lr_schedule(state.step)
+        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_vit_som_eval_step(cfg: Config, model):
+    """Returns (bmu, logits-or-None, som_loss pieces) for val/test batches."""
+    grid_d2 = jnp.asarray(som.grid_sq_distances(cfg.som.map_size, cfg.som.topology))
+
+    def eval_step(params, batch, temperature):
+        x = batch["image"]
+        cls_tok, recon, logits, distances, bmu_idx = model.apply({"params": params}, x)
+        weights = som.neighborhood_weights(bmu_idx, grid_d2, temperature)
+        som_l = som.som_loss(weights, distances)
+        recon_l = l1_loss(recon, x)
+        return {
+            "bmu": bmu_idx,
+            "logits": logits if cfg.classification else jnp.zeros((x.shape[0], 1)),
+            "som_loss": som_l,
+            "recon_loss": recon_l,
+        }
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# DESOM
+# ---------------------------------------------------------------------------
+
+
+def make_desom_train_step(
+    cfg: Config,
+    model,
+    tx: optax.GradientTransformation,
+    statics: StepStatics,
+    lr_schedule: Callable,
+):
+    grid_d2 = jnp.asarray(som.grid_sq_distances(cfg.som.map_size, cfg.som.topology))
+    total_iters = statics.total_iterations_float
+    classification = cfg.classification
+    gamma = cfg.gamma
+    has_bn = cfg.ae.batch_norm
+
+    def loss_fn(params, batch_stats, batch, step):
+        x, y = batch["image"], batch["label"]
+        x_flat = x.reshape(x.shape[0], -1)
+        variables = {"params": params}
+        if has_bn:
+            variables["batch_stats"] = batch_stats
+            (logits, z, distances, bmu_idx, decoded), mutated = model.apply(
+                variables,
+                x_flat,
+                train=True,
+                mutable=["batch_stats"],
+                method="forward_with_recon",
+            )
+            new_bs = mutated["batch_stats"]
+        else:
+            logits, z, distances, bmu_idx, decoded = model.apply(
+                variables, x_flat, method="forward_with_recon"
+            )
+            new_bs = batch_stats
+
+        temperature = som.temperature_schedule(
+            step, total_iters, cfg.som.t_max, cfg.som.t_min
+        )
+        weights = som.neighborhood_weights(bmu_idx, grid_d2, temperature)
+        som_l = som.som_loss(jax.lax.stop_gradient(weights), distances)
+        recon_l = l1_loss(decoded, x_flat)
+
+        if classification:
+            cls_l = cross_entropy(logits, y)
+            total = cls_l + gamma * (som_l + recon_l)
+            metrics = {"train/cls_loss": cls_l}
+        else:
+            total = recon_l + gamma * som_l
+            metrics = {}
+        metrics.update(
+            {
+                "train/recon_loss": recon_l,
+                "train/som_loss": som_l,
+                "train/total_loss": total,
+                "hp/temperature": temperature,
+            }
+        )
+        return total, (metrics, new_bs)
+
+    def train_step(state: TrainState, batch):
+        (_, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, state.step
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["hp/lr"] = lr_schedule(state.step)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, batch_stats=new_bs
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_desom_eval_step(cfg: Config, model):
+    def eval_step(params, batch, temperature):
+        x = batch["image"]
+        x_flat = x.reshape(x.shape[0], -1)
+        logits, z, distances, bmu_idx = model.apply({"params": params}, x_flat)
+        return {
+            "bmu": bmu_idx,
+            "logits": logits if cfg.classification else jnp.zeros((x.shape[0], 1)),
+            "latent": z,
+        }
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# plain classifiers (vit / swin / deit / mobile_vit)
+# ---------------------------------------------------------------------------
+
+
+def make_classifier_train_step(
+    cfg: Config,
+    model,
+    tx: optax.GradientTransformation,
+    lr_schedule: Callable,
+    smoothing: float,
+    loss_name: str = "train/cls_loss",
+):
+    def loss_fn(params, batch):
+        logits = model.apply({"params": params}, batch["image"])
+        loss = cross_entropy(logits, batch["label"], smoothing)
+        return loss, {loss_name: loss}
+
+    def train_step(state: TrainState, batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["hp/lr"] = lr_schedule(state.step)
+        return state.replace(step=state.step + 1, params=params, opt_state=opt_state), metrics
+
+    return train_step
+
+
+def make_classifier_eval_step(cfg: Config, model):
+    def eval_step(params, batch, temperature=None):
+        logits = model.apply({"params": params}, batch["image"])
+        return {"logits": logits, "bmu": jnp.zeros((logits.shape[0],), jnp.int32)}
+
+    return eval_step
