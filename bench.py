@@ -1,0 +1,82 @@
+"""Benchmark: ViT-SOM (24x24) MNIST-clustering training throughput.
+
+North-star metric per BASELINE.md: the reference trains ViT-SOM 24x24 on
+MNIST for 500 epochs in 2432.052 s on one CUDA GPU
+(``/root/reference/README.md:87``) = 500 epochs x 546 steps x 128 images
+/ 2432 s = 14,368 images/sec. This bench measures our steady-state training
+throughput per chip on the identical workload shape (70k MNIST-sized images,
+the shipped vit_som mnist config with the paper's 24x24 map) and reports
+``vs_baseline`` = ours / reference.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_IMG_PER_SEC = 500 * 546 * 128 / 2432.052
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vitsom_tpu.config import load_config
+    from vitsom_tpu.data.pipeline import build_datamodule
+    from vitsom_tpu.train.trainer import Trainer
+
+    cfg = load_config(
+        "configs/vit_som/vit_som_mnist.yaml",
+        overrides={
+            "som.map_size": [24, 24],  # paper's 24x24 variant (README.md:79,87)
+            "total_epochs": 500,
+            "data.allow_synthetic": True,  # zero-egress image: MNIST-shaped stand-in
+            "data.synthetic_size": 70000,  # == len(MNIST train+test concat)
+            "train.n_runs": 1,
+        },
+    )
+    dm = build_datamodule(cfg)
+    trainer = Trainer(cfg, dm=dm, run_id=0)
+
+    assert dm.is_static, "mnist clustering path must be device-resident"
+    images, labels = dm.device_arrays(dm.train, train_mode=True)
+    epoch_fn = trainer._build_epoch_fn(images.shape[0])
+    key = jax.random.key(0)
+    state = trainer.state
+
+    # warmup epoch: compile + run
+    key, sub = jax.random.split(key)
+    state, _, _ = epoch_fn(state, sub, images, labels)
+    jax.block_until_ready(state.params)
+
+    # timed epochs (steady state)
+    n_epochs = 3
+    t0 = time.time()
+    for _ in range(n_epochs):
+        key, sub = jax.random.split(key)
+        state, _, _ = epoch_fn(state, sub, images, labels)
+    jax.block_until_ready(state.params)
+    dt = time.time() - t0
+
+    steps = dm.steps_per_epoch
+    img_per_sec = n_epochs * steps * cfg.batch_size / dt
+    n_chips = 1
+    value = img_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "vit_som_24x24_mnist_train_images_per_sec_per_chip",
+                "value": round(value, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(value / REFERENCE_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Benchmark harness: N-run train/eval loop with mean/std aggregation.
+
+One script for every model family (the reference ships six near-identical
+copies, ``/root/reference/experiments/benchmarking/train_*.py``; the shape
+is preserved — seed once before the run loop, fresh state dir per run,
+train, evaluate, aggregate mean/std — via a single parameterized harness).
+
+Protocol replicated from ``train_vit_som.py:27-130``:
+- seed set once, before the run loop (:36) — runs differ by RNG flow
+- clustering: reload the last checkpoint and evaluate purity/NMI on the
+  train (concat) loader (:111-112)
+- classification: evaluate the in-memory model on the test loader (:104)
+- wall-clock per run includes data setup, mean/std printed at the end
+
+Usage:
+    python experiments/benchmarking/train.py --config configs/vit_som/vit_som_mnist.yaml
+    python experiments/benchmarking/train.py --config ... --runs 1 --epochs 3 --synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
+import numpy as np
+
+
+def clear_directory(directory: str):
+    if os.path.exists(directory):
+        shutil.rmtree(directory)
+    os.makedirs(directory, exist_ok=True)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="vitsom-tpu benchmark harness")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--runs", type=int, default=None, help="override n_runs")
+    parser.add_argument("--epochs", type=int, default=None, help="override total_epochs")
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="allow synthetic data when raw files are absent")
+    parser.add_argument("--cpu", action="store_true", help="force CPU platform")
+    parser.add_argument("--override", action="append", default=[],
+                        help="dotted config override key=value (yaml-parsed)")
+    parser.add_argument("--json-out", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import yaml
+
+    from vitsom_tpu.config import load_config
+    from vitsom_tpu.eval.metrics import aggregate_runs
+    from vitsom_tpu.train.trainer import Trainer
+    from vitsom_tpu.data.pipeline import build_datamodule
+
+    overrides = {}
+    if args.epochs is not None:
+        overrides["total_epochs"] = args.epochs
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.runs is not None:
+        overrides["train.n_runs"] = args.runs
+    if args.synthetic:
+        overrides["data.allow_synthetic"] = True
+    for ov in args.override:
+        k, _, v = ov.partition("=")
+        overrides[k] = yaml.safe_load(v)
+
+    cfg = load_config(args.config, overrides=overrides)
+    n_runs = cfg.train.n_runs
+    dataset_name = cfg.data.dataset
+    print(f"model={cfg.model_arch} dataset={dataset_name} epochs={cfg.total_epochs} "
+          f"batch={cfg.batch_size} runs={n_runs} cls={cfg.classification}")
+
+    all_metrics = {k: [] for k in (
+        "accuracy", "precision", "recall", "f1", "purity", "nmi",
+        "run_duration", "inference_time", "images_per_sec_per_chip", "peak_memory_gb",
+    )}
+
+    states_dir = os.path.join(cfg.train.checkpoint_dir, cfg.model_arch)
+    for run in range(n_runs):
+        print(f"Starting run {run + 1} for {dataset_name}...")
+        start = time.time()
+        clear_directory(states_dir)
+
+        dm = build_datamodule(cfg)
+        trainer = Trainer(cfg, dm=dm, run_id=run)
+        fit_result = trainer.fit()
+        run_duration = time.time() - start
+        print(f"Run {run + 1} duration: {run_duration:.2f} seconds")
+
+        if cfg.classification:
+            metrics = trainer.evaluate()
+            for k in ("accuracy", "precision", "recall", "f1"):
+                all_metrics[k].append(metrics[k])
+        else:
+            # clustering protocol: save last, reload, evaluate on train set
+            trainer.save_checkpoint(tag="last")
+            trainer.restore_checkpoint(tag="last")
+            metrics = trainer.evaluate()
+            all_metrics["purity"].append(metrics["purity"])
+            all_metrics["nmi"].append(metrics["nmi"])
+
+        all_metrics["run_duration"].append(run_duration)
+        all_metrics["inference_time"].append(metrics["inference_time"])
+        all_metrics["images_per_sec_per_chip"].append(fit_result["images_per_sec_per_chip"])
+        all_metrics["peak_memory_gb"].append(fit_result["peak_memory_gb"])
+
+    agg = aggregate_runs(all_metrics)
+    if n_runs > 1:
+        print(f"\n--- Aggregated Results Across {n_runs} Runs for {dataset_name} ---")
+    for key, (mean, std) in agg.items():
+        if key in ("run_duration", "inference_time"):
+            print(f"Avg {key.capitalize()} (Std): {mean:.2f}s ({std:.2f}s)")
+        else:
+            print(f"{key.capitalize()} Mean (Std): {mean:.4f} ({std:.4f})")
+
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({k: list(map(float, v)) for k, v in all_metrics.items() if v}, f, indent=2)
+    return agg
+
+
+if __name__ == "__main__":
+    main()

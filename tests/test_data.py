@@ -1,0 +1,154 @@
+"""Data pipeline tests: synthetic loaders, split policy, transforms."""
+
+import numpy as np
+import pytest
+
+from vitsom_tpu.config import AugmentConfig, Config, DataConfig, SOMConfig, ViTConfig
+from vitsom_tpu.data import augment as aug_lib
+from vitsom_tpu.data.datasets import load_raw, make_synthetic
+from vitsom_tpu.data.pipeline import build_datamodule
+
+
+def cluster_cfg(n=512):
+    return Config(
+        model_arch="vit_som",
+        batch_size=64,
+        som=SOMConfig(map_size=(4, 4), distance_fcn="cosine"),
+        vit=ViTConfig(patch_size=2, emb_dim=8, depth=1, heads=2, dec_emb_dim=4, dec_depth=1),
+        data=DataConfig(dataset="mnist", num_classes=0, num_channels=1, input_size=28,
+                        allow_synthetic=True, synthetic_size=n),
+    ).validate()
+
+
+def cls_cfg(n=512):
+    return Config(
+        model_arch="vit",
+        batch_size=64,
+        vit=ViTConfig(patch_size=4, emb_dim=8, depth=1, heads=2, dec_emb_dim=4, dec_depth=1),
+        data=DataConfig(
+            dataset="cifar-10", num_classes=10, num_channels=3, input_size=32,
+            allow_synthetic=True, synthetic_size=n,
+            augment=AugmentConfig(horizontal_flip=0.5, randaug_n=2,
+                                  resize_scale=(0.08, 1.0), resize_ratio=(0.75, 1.3333),
+                                  reprob=0.25, autoaugment=True),
+        ),
+    ).validate()
+
+
+def test_synthetic_deterministic():
+    cfg = cluster_cfg().data
+    a = make_synthetic(cfg)
+    b = make_synthetic(cfg)
+    np.testing.assert_array_equal(a.train_x, b.train_x)
+    np.testing.assert_array_equal(a.train_y, b.train_y)
+
+
+def test_clustering_split_concat():
+    cfg = cluster_cfg(500)
+    dm = build_datamodule(cfg)
+    # concat of train (500) + test (100)
+    assert dm.n_train == 600
+    assert dm.val is None and dm.test is None
+    assert dm.steps_per_epoch == 600 // 64  # drop_last
+    assert dm.is_static  # no augs configured
+
+
+def test_classification_split_80_20():
+    cfg = cls_cfg(500)
+    dm = build_datamodule(cfg)
+    assert len(dm.train) == 400
+    assert len(dm.val) == 100
+    assert len(dm.test) == 100
+    assert not dm.is_static  # augmented
+
+
+def test_device_arrays_scale():
+    cfg = cluster_cfg(256)
+    dm = build_datamodule(cfg)
+    x, y = dm.device_arrays(dm.train)
+    assert x.shape == (len(dm.train), 28, 28, 1)
+    assert float(x.max()) <= 1.0 and float(x.min()) >= 0.0
+    assert y.shape == (len(dm.train),)
+
+
+def test_train_batches_augmented():
+    cfg = cls_cfg(256)
+    dm = build_datamodule(cfg)
+    batches = list(dm.train_batches(epoch=0))
+    assert len(batches) == len(dm.train) // 64
+    b = batches[0]
+    assert b["image"].shape == (64, 32, 32, 3)
+    assert b["image"].dtype == np.float32
+    # normalized: values not confined to [0,1]
+    assert b["image"].min() < 0
+
+
+def test_train_batches_epoch_shuffle_differs():
+    cfg = cls_cfg(256)
+    dm = build_datamodule(cfg)
+    b0 = next(iter(dm.train_batches(epoch=0)))
+    b1 = next(iter(dm.train_batches(epoch=1)))
+    assert not np.array_equal(b0["label"], b1["label"])
+
+
+def test_eval_batches_drop_last():
+    cfg = cls_cfg(500)
+    dm = build_datamodule(cfg)
+    n = sum(len(b["label"]) for b in dm.eval_batches(dm.test, drop_last=True))
+    assert n == (len(dm.test) // 64) * 64
+
+
+def test_eval_transform_center_crop():
+    cfg = cls_cfg().data
+    tf = aug_lib.make_eval_transform(cfg)
+    x = (np.random.default_rng(0).uniform(size=(40, 40, 3)) * 255).astype(np.uint8)
+    out = tf(x)
+    assert out.shape == (32, 32, 3)
+
+
+def test_tf_rrc_bounds():
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray((np.ones((28, 28, 3)) * 128).astype(np.uint8))
+    out = aug_lib.tf_random_resized_crop(img, rng, 32, (0.08, 1.0), (0.75, 1.3333))
+    assert out.size == (32, 32)
+
+
+def test_rand_augment_runs_all_magnitudes():
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray((np.random.default_rng(1).uniform(size=(32, 32, 3)) * 255).astype(np.uint8))
+    for m in [0, 5, 9, 10]:
+        out = aug_lib.rand_augment(img, rng, num_ops=2, magnitude=m)
+        assert out.size == (32, 32)
+
+
+def test_random_erasing_applies():
+    rng = np.random.default_rng(0)
+    x = np.zeros((32, 32, 3), np.float32)
+    out = aug_lib.random_erasing(x.copy(), rng, prob=1.0)
+    assert np.abs(out).sum() > 0  # noise filled somewhere
+    out2 = aug_lib.random_erasing(x.copy(), rng, prob=0.0)
+    assert np.abs(out2).sum() == 0
+
+
+def test_mnist_family_transform_is_tensor_only():
+    cfg = cluster_cfg().data
+    tf = aug_lib.make_train_transform(cfg)
+    x = (np.arange(28 * 28, dtype=np.uint8).reshape(28, 28, 1) % 255)
+    out = tf(x, np.random.default_rng(0))
+    np.testing.assert_allclose(out, x.astype(np.float32) / 255.0)
+
+
+def test_unknown_dataset_raises():
+    cfg = Config(data=DataConfig(dataset="nope"))
+    with pytest.raises(ValueError):
+        load_raw(cfg.data)
+
+
+def test_missing_dataset_raises_without_synthetic():
+    cfg = Config(data=DataConfig(dataset="cifar-10", data_dir="/nonexistent"))
+    with pytest.raises(FileNotFoundError):
+        load_raw(cfg.data)

@@ -1,0 +1,110 @@
+"""End-to-end trainer smoke tests on the virtual CPU mesh: short-horizon
+training must reduce loss and improve purity over init (the TPU-native
+version of the reference's integration-test-by-benchmark strategy,
+SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from vitsom_tpu.config import (
+    AEConfig,
+    Config,
+    DataConfig,
+    OptimizerConfig,
+    SOMConfig,
+    TrainConfig,
+    ViTConfig,
+)
+from vitsom_tpu.data.pipeline import build_datamodule
+from vitsom_tpu.train.trainer import Trainer
+
+
+def desom_cfg(tmp_path, epochs=3):
+    return Config(
+        model_arch="desom",
+        total_epochs=epochs,
+        batch_size=64,
+        gamma=0.001,
+        som=SOMConfig(map_size=(6, 6), t_max=6.0, t_min=0.5, distance_fcn="manhattan"),
+        ae=AEConfig(encoder_dims=(64, 10)),
+        optimizer=OptimizerConfig(type="adam", lr=1e-3, scheduler="constant"),
+        data=DataConfig(dataset="mnist", num_classes=0, num_channels=1, input_size=28,
+                        allow_synthetic=True, synthetic_size=1024),
+        train=TrainConfig(
+            checkpoint_dir=str(tmp_path / "states"), log_dir=str(tmp_path / "logs"),
+            n_runs=1,
+        ),
+    ).validate()
+
+
+def test_desom_end_to_end_learns(tmp_path):
+    cfg = desom_cfg(tmp_path)
+    dm = build_datamodule(cfg)
+    trainer = Trainer(cfg, dm=dm)
+
+    result = trainer.fit()
+    m1 = trainer.evaluate()
+
+    assert result["final_step"] == dm.steps_per_epoch * cfg.total_epochs
+    # loss must fall across epochs
+    losses = [v for _, v in trainer.logger.history["train/total_loss"]]
+    assert losses[-1] < losses[0]
+    # BMU assignments must beat the random-cluster baseline (1/k = 0.1)
+    assert m1["purity"] > 0.12
+    assert result["images_per_sec_per_chip"] > 0
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    cfg = desom_cfg(tmp_path, epochs=1)
+    dm = build_datamodule(cfg)
+    trainer = Trainer(cfg, dm=dm)
+    trainer.fit()
+    m_before = trainer.evaluate()
+    trainer.save_checkpoint(tag="last")
+
+    # fresh trainer, restore, same metrics
+    trainer2 = Trainer(cfg, dm=dm)
+    trainer2.restore_checkpoint(tag="last")
+    # restore must also bring back the step counter
+    assert int(trainer2.state.step) == int(trainer.state.step)
+    m_after = trainer2.evaluate()
+    assert np.isclose(m_before["purity"], m_after["purity"])
+    assert np.isclose(m_before["nmi"], m_after["nmi"])
+
+
+def test_resume_continues_training(tmp_path):
+    """Restore-and-continue: the checkpoint/resume path the reference never
+    exercises (SURVEY.md §5) is a tested feature here."""
+    cfg = desom_cfg(tmp_path, epochs=1)
+    dm = build_datamodule(cfg)
+    t1 = Trainer(cfg, dm=dm)
+    t1.fit()
+    t1.save_checkpoint(tag="last")
+    step_after_1 = int(t1.state.step)
+
+    t2 = Trainer(cfg, dm=dm)
+    t2.restore_checkpoint(tag="last")
+    t2.fit()  # one more epoch from the restored state
+    assert int(t2.state.step) == step_after_1 + dm.steps_per_epoch
+
+
+def test_vit_som_cls_trainer(tmp_path):
+    cfg = Config(
+        model_arch="vit_som",
+        total_epochs=1,
+        batch_size=32,
+        gamma=0.01,
+        som=SOMConfig(map_size=(4, 4), t_max=4.0, t_min=0.5, distance_fcn="cosine"),
+        vit=ViTConfig(patch_size=4, emb_dim=16, depth=1, heads=2, dec_emb_dim=8, dec_depth=1),
+        optimizer=OptimizerConfig(type="adamw", lr=5e-4, scheduler="cosine_annealing",
+                                  warmup_epochs=1, smoothing=0.1),
+        data=DataConfig(dataset="synthetic", num_classes=10, num_channels=3, input_size=32,
+                        allow_synthetic=True, synthetic_size=256, num_workers=0),
+        train=TrainConfig(checkpoint_dir=str(tmp_path / "s"), log_dir=str(tmp_path / "l")),
+    ).validate()
+    dm = build_datamodule(cfg)
+    trainer = Trainer(cfg, dm=dm)
+    result = trainer.fit()
+    metrics = trainer.evaluate()
+    assert "accuracy" in metrics
+    assert result["best_val_accuracy"] >= 0

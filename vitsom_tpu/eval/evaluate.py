@@ -1,0 +1,162 @@
+"""Evaluation drivers: clustering (BMU purity/NMI), classification, k-means.
+
+Mirrors the reference's evaluators (``/root/reference/tools/evaluation.py``):
+- ``evaluate_clustering`` (:18-52): full forward over the loader, BMU index
+  as cluster id, purity + NMI + wall-clock
+- ``evaluate_classification`` (:93-128): argmax logits -> accuracy/macro-PRF
+- ``evaluate_kmeans`` (:54-91): k-means (k = #classes) on the latents
+
+TPU-native differences: batches are evaluated by one jitted forward with a
+single host transfer of the small outputs per batch (the reference pulls
+``.cpu().numpy()`` inside the timed loop too, :41-42 — but also re-loads and
+re-transforms images in Python workers; here static datasets are already
+device-resident).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitsom_tpu.config import Config
+from vitsom_tpu.data.pipeline import DataModule, Split
+
+
+def _batched_device_eval(
+    eval_step: Callable, params, images: jnp.ndarray, labels: jnp.ndarray,
+    batch_size: int, temperature, keys=("bmu", "logits"),
+):
+    """Evaluate a device-resident array split in fixed-size batches.
+
+    The tail partial batch is padded and masked out, so every shape is
+    static and XLA compiles exactly one program.
+    """
+    n = images.shape[0]
+    steps = (n + batch_size - 1) // batch_size
+    pad = steps * batch_size - n
+    if pad:
+        images = jnp.concatenate([images, jnp.repeat(images[:1], pad, axis=0)])
+        labels = jnp.concatenate([labels, jnp.zeros((pad,), labels.dtype)])
+    outs = {k: [] for k in keys}
+    for s in range(steps):
+        batch = {
+            "image": jax.lax.dynamic_slice_in_dim(images, s * batch_size, batch_size),
+            "label": jax.lax.dynamic_slice_in_dim(labels, s * batch_size, batch_size),
+        }
+        o = eval_step(params, batch, temperature)
+        for k in keys:
+            if k in o:
+                outs[k].append(o[k])
+    res = {k: np.concatenate([np.asarray(v) for v in vals])[:n] for k, vals in outs.items() if vals}
+    return res
+
+
+def evaluate_clustering(
+    eval_step: Callable,
+    params,
+    dm: DataModule,
+    temperature,
+    drop_last: bool = True,
+) -> Tuple[float, float, float]:
+    """BMU-as-cluster purity/NMI over the training (concat) set, matching
+    the reference's protocol (``train_vit_som.py:111-112``)."""
+    from vitsom_tpu.eval import metrics
+
+    start = time.time()
+    bs = dm.cfg.batch_size
+    split = dm.train
+    n_keep = (len(split) // bs) * bs if drop_last else len(split)
+
+    if dm.is_static:
+        images, labels = dm.device_arrays(split, train_mode=True)
+        res = _batched_device_eval(eval_step, params, images[:n_keep], labels[:n_keep], bs, temperature)
+        y_pred, y_true = res["bmu"], np.asarray(labels[:n_keep])
+    else:
+        preds, trues = [], []
+        for batch in dm.eval_batches(split, drop_last=drop_last):
+            o = eval_step(params, jax.device_put(batch), temperature)
+            preds.append(np.asarray(o["bmu"]))
+            trues.append(batch["label"])
+        y_pred, y_true = np.concatenate(preds), np.concatenate(trues)
+
+    p = metrics.purity(y_true, y_pred)
+    n = metrics.nmi(y_true, y_pred)
+    dt = time.time() - start
+    print(f"Purity: {p:.3f}, NMI: {n:.3f}, Inference Time: {dt:.3f}")
+    return p, n, dt
+
+
+def evaluate_classification(
+    eval_step: Callable,
+    params,
+    dm: DataModule,
+    split: Optional[Split] = None,
+    temperature=None,
+    drop_last: bool = True,
+) -> Tuple[float, float, float, float, float]:
+    """Accuracy/precision/recall/F1 on the test split (reference :93-128)."""
+    from vitsom_tpu.eval import metrics
+
+    split = split if split is not None else dm.test
+    start = time.time()
+    preds, trues = [], []
+    t = temperature if temperature is not None else jnp.asarray(1.0)
+    for batch in dm.eval_batches(split, drop_last=drop_last):
+        o = eval_step(params, jax.device_put(batch), t)
+        preds.append(np.asarray(o["logits"]).argmax(axis=-1))
+        trues.append(batch["label"])
+    y_pred, y_true = np.concatenate(preds), np.concatenate(trues)
+    m = metrics.classification_metrics(y_true, y_pred)
+    dt = time.time() - start
+    print(
+        f"Accuracy: {m['accuracy']:.3f}, Precision: {m['precision']:.3f}, "
+        f"Recall: {m['recall']:.3f}, F1-score: {m['f1']:.3f}, Inference Time: {dt:.3f}"
+    )
+    return m["accuracy"], m["precision"], m["recall"], m["f1"], dt
+
+
+def evaluate_kmeans(
+    latent_fn: Callable,
+    params,
+    dm: DataModule,
+    n_clusters: Optional[int] = None,
+    temperature=None,
+) -> Tuple[float, float, float]:
+    """k-means on latent embeddings (reference :54-91)."""
+    from sklearn.cluster import KMeans
+
+    from vitsom_tpu.eval import metrics
+
+    start = time.time()
+    t = temperature if temperature is not None else jnp.asarray(1.0)
+    feats, trues = [], []
+    split = dm.train
+    if dm.is_static:
+        images, labels = dm.device_arrays(split, train_mode=True)
+        bs = dm.cfg.batch_size
+        n_keep = (len(split) // bs) * bs
+        res = _batched_device_eval(
+            latent_fn, params, images[:n_keep], labels[:n_keep], bs, t, keys=("latent",)
+        )
+        x = res["latent"].reshape(n_keep, -1)
+        y_true = np.asarray(labels[:n_keep])
+    else:
+        for batch in dm.eval_batches(split):
+            o = latent_fn(params, jax.device_put(batch), t)
+            feats.append(np.asarray(o["latent"]))
+            trues.append(batch["label"])
+        x = np.concatenate(feats).reshape(len(np.concatenate(trues)), -1)
+        y_true = np.concatenate(trues)
+
+    k = n_clusters or len(np.unique(y_true))
+    km = KMeans(n_clusters=k, random_state=0, n_init=10)
+    y_pred = km.fit_predict(x)
+    p = metrics.purity(y_true, y_pred)
+    n = metrics.nmi(y_true, y_pred)
+    dt = time.time() - start
+    print(f"Purity (KMeans): {p:.3f}, NMI (KMeans): {n:.3f}, Inference Time: {dt:.3f}")
+    return p, n, dt

@@ -1,0 +1,49 @@
+"""Device mesh + sharding helpers (batch-axis data parallelism).
+
+The reference has no first-class distribution — Lightning's ``devices`` env
+pass-through is its whole story (``/root/reference/experiments/benchmarking/
+train_vit_som.py:44-45``). Here DP is first-class: a 1-D ``('data',)`` Mesh,
+params replicated (models are <=5.4M params), batches sharded on the leading
+axis, and XLA inserts the gradient psum. ``devices=N`` means pjit over N
+chips over ICI; the same code path runs on the 8-virtual-device CPU mesh in
+tests and in ``__graft_entry__.dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Constrain the leading axis of every leaf to the data axis."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.lax.with_sharding_constraint(x, s), batch)
+
+
+def put_replicated(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def put_batch(batch, mesh: Mesh):
+    return jax.device_put(batch, batch_sharding(mesh))

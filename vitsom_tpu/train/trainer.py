@@ -1,0 +1,366 @@
+"""Trainer: device-resident epoch scans, DP mesh, checkpointing, logging.
+
+Replaces PyTorch-Lightning's Trainer (the reference delegates its entire
+loop to ``pl.Trainer.fit``, ``/root/reference/experiments/benchmarking/
+train_vit_som.py:86-93``) with two TPU-native execution modes:
+
+- **scan mode** (static-transform datasets): the whole dataset lives in HBM;
+  one jitted function runs a full epoch as ``lax.scan`` over device-side
+  permuted gathers. Python dispatches once per epoch, not per step.
+- **stream mode** (augmented datasets): multiprocess host augmentation with
+  device prefetch; one jitted step per batch.
+
+Both modes run over a ``('data',)`` Mesh: params replicated, batch sharded.
+Checkpointing is orbax (params + opt state + step), monitored on
+val/accuracy for classification (best) or save-last for clustering, matching
+the reference's ModelCheckpoint policy (``train_vit_som.py:81-84``).
+TensorBoard tags match the reference names so dashboards carry over.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vitsom_tpu.config import Config
+from vitsom_tpu.data.pipeline import DataModule, build_datamodule, device_prefetch
+from vitsom_tpu.eval import evaluate as eval_lib
+from vitsom_tpu.parallel import mesh as mesh_lib
+from vitsom_tpu.som import layer as som
+from vitsom_tpu.train import optim, schedules
+from vitsom_tpu.train import steps as steps_lib
+from vitsom_tpu.utils.logging import MetricLogger
+
+
+# ---------------------------------------------------------------------------
+# model registry
+# ---------------------------------------------------------------------------
+
+
+def build_model(cfg: Config, attn_impl: Optional[str] = None):
+    impl = attn_impl or ("pallas" if cfg.train.use_pallas_attention else "xla")
+    if cfg.model_arch == "vit_som":
+        from vitsom_tpu.models.vit_som import ViTSOM
+
+        return ViTSOM(cfg, attn_impl=impl)
+    if cfg.model_arch == "desom":
+        from vitsom_tpu.models.desom import DESOM
+
+        return DESOM(cfg)
+    if cfg.model_arch == "vit":
+        from vitsom_tpu.models.vit_som import ViTClassifier
+
+        return ViTClassifier(cfg, attn_impl=impl)
+    if cfg.model_arch == "swin":
+        from vitsom_tpu.models.swin import build_swin
+
+        return build_swin(cfg)
+    if cfg.model_arch == "deit":
+        from vitsom_tpu.models.deit import DeiT
+
+        return DeiT(cfg)
+    if cfg.model_arch == "mobile_vit":
+        from vitsom_tpu.models.mobile_vit import build_mobilevit_s
+
+        return build_mobilevit_s(cfg)
+    raise ValueError(f"unknown model_arch {cfg.model_arch}")
+
+
+def example_input(cfg: Config, batch: Optional[int] = None) -> jnp.ndarray:
+    b = batch or cfg.batch_size
+    s, c = cfg.data.input_size, cfg.data.num_channels
+    if cfg.model_arch == "desom":
+        return jnp.zeros((b, c * s * s), jnp.float32)
+    return jnp.zeros((b, s, s, c), jnp.float32)
+
+
+def make_steps(cfg: Config, model, dataset_len: int, steps_per_epoch: int):
+    """Build (train_step, eval_step, statics, lr_schedule, tx) for a model."""
+    statics = steps_lib.StepStatics(
+        steps_per_epoch=steps_per_epoch,
+        total_epochs=cfg.total_epochs,
+        dataset_len=dataset_len,
+        batch_size=cfg.batch_size,
+    )
+    base_lr = optim.base_learning_rate(cfg)
+    if cfg.model_arch == "swin":
+        lr_sched = schedules.make_swin_lr_schedule(
+            cfg.optimizer, cfg.total_epochs, steps_per_epoch, base_lr
+        )
+    else:
+        lr_sched = schedules.make_lr_schedule(
+            cfg.optimizer, cfg.total_epochs, steps_per_epoch, base_lr
+        )
+
+    x = example_input(cfg, batch=2)
+    params = model.init(jax.random.key(cfg.train.seed), x)["params"]
+    tx = optim.make_optimizer(cfg, params, lr_sched)
+
+    if cfg.model_arch == "vit_som":
+        train_step = steps_lib.make_vit_som_train_step(cfg, model, tx, statics, lr_sched)
+        eval_step = steps_lib.make_vit_som_eval_step(cfg, model)
+    elif cfg.model_arch == "desom":
+        train_step = steps_lib.make_desom_train_step(cfg, model, tx, statics, lr_sched)
+        eval_step = steps_lib.make_desom_eval_step(cfg, model)
+    elif cfg.model_arch == "deit":
+        from vitsom_tpu.models.deit import make_deit_train_step
+
+        train_step = make_deit_train_step(cfg, model, tx, lr_sched)
+        eval_step = steps_lib.make_classifier_eval_step(cfg, model)
+    else:
+        smoothing = cfg.optimizer.smoothing if cfg.model_arch != "vit" else 0.0
+        train_step = steps_lib.make_classifier_train_step(
+            cfg, model, tx, lr_sched, smoothing
+        )
+        eval_step = steps_lib.make_classifier_eval_step(cfg, model)
+
+    return train_step, eval_step, statics, lr_sched, tx, params
+
+
+# ---------------------------------------------------------------------------
+# trainer
+# ---------------------------------------------------------------------------
+
+
+class Trainer:
+    def __init__(self, cfg: Config, dm: Optional[DataModule] = None, run_id: int = 0):
+        self.cfg = cfg
+        self.dm = dm or build_datamodule(cfg)
+        self.run_id = run_id
+        self.mesh = mesh_lib.make_mesh(
+            cfg.train.mesh_shape[0] if cfg.train.mesh_shape else None
+        )
+        self.model = build_model(cfg)
+        (
+            self._train_step,
+            self._eval_step,
+            self.statics,
+            self.lr_schedule,
+            self.tx,
+            init_params,
+        ) = make_steps(cfg, self.model, self.dm.n_train, self.dm.steps_per_epoch)
+
+        params = mesh_lib.put_replicated(init_params, self.mesh)
+        opt_state = self.tx.init(params)
+        self.state = steps_lib.TrainState(
+            step=jnp.asarray(0, jnp.int32), params=params, opt_state=opt_state
+        )
+
+        donate = (0,) if cfg.train.donate_state else ()
+        self._jit_step = jax.jit(self._wrap_sharded(self._train_step), donate_argnums=donate)
+        self._jit_eval = jax.jit(self._eval_step)
+        self._jit_epoch = None  # built lazily in scan mode
+
+        self.logger = MetricLogger(
+            os.path.join(cfg.train.log_dir, cfg.model_arch, cfg.data.dataset, f"run_{run_id}")
+        )
+        self.history: Dict[str, list] = {}
+        self.peak_memory_gb = 0.0
+
+    # -- sharding wrapper --------------------------------------------------
+
+    def _wrap_sharded(self, step_fn):
+        mesh = self.mesh
+
+        def wrapped(state, batch):
+            batch = mesh_lib.shard_batch(batch, mesh)
+            return step_fn(state, batch)
+
+        return wrapped
+
+    # -- scan mode ---------------------------------------------------------
+
+    def _build_epoch_fn(self, n_keep: int):
+        steps = self.dm.steps_per_epoch
+        bs = self.cfg.batch_size
+        train_step = self._train_step
+        mesh = self.mesh
+
+        def epoch_fn(state, key, images, labels):
+            perm = jax.random.permutation(key, images.shape[0])[: steps * bs]
+            idxs = perm.reshape(steps, bs)
+
+            def body(state, idx):
+                batch = {
+                    "image": jnp.take(images, idx, axis=0),
+                    "label": jnp.take(labels, idx, axis=0),
+                }
+                batch = mesh_lib.shard_batch(batch, mesh)
+                state, m = train_step(state, batch)
+                return state, m
+
+            state, ms = jax.lax.scan(body, state, idxs)
+            mean_metrics = jax.tree_util.tree_map(lambda x: jnp.mean(x), ms)
+            last_metrics = jax.tree_util.tree_map(lambda x: x[-1], ms)
+            return state, mean_metrics, last_metrics
+
+        return jax.jit(epoch_fn, donate_argnums=(0,))
+
+    # -- public API ----------------------------------------------------------
+
+    def fit(self, progress: bool = True) -> Dict[str, Any]:
+        cfg = self.cfg
+        t_start = time.time()
+        best_val_acc = -1.0
+
+        if self.dm.is_static:
+            images, labels = self.dm.device_arrays(self.dm.train, train_mode=True)
+            epoch_fn = self._build_epoch_fn(images.shape[0])
+            key = jax.random.key(cfg.train.seed + 1000 * self.run_id)
+            for epoch in range(cfg.total_epochs):
+                key, sub = jax.random.split(key)
+                self.state, mean_m, last_m = epoch_fn(self.state, sub, images, labels)
+                self._log_epoch(epoch, mean_m)
+                best_val_acc = self._maybe_validate(epoch, best_val_acc)
+            jax.block_until_ready(self.state.params)
+        else:
+            step_in_epoch_log = cfg.train.log_every_n_steps
+            for epoch in range(cfg.total_epochs):
+                it = device_prefetch(
+                    self.dm.train_batches(epoch, seed=cfg.train.seed + 1000 * self.run_id)
+                )
+                accum = []
+                for i, batch in enumerate(it):
+                    self.state, m = self._jit_step(self.state, batch)
+                    if (i + 1) % step_in_epoch_log == 0:
+                        self.logger.log_scalars(
+                            {k: float(v) for k, v in m.items()},
+                            step=int(self.state.step),
+                        )
+                    accum.append(m)
+                if accum:
+                    mean_m = jax.tree_util.tree_map(
+                        lambda *xs: float(np.mean([np.asarray(x) for x in xs])), *accum
+                    )
+                    self._log_epoch(epoch, mean_m)
+                best_val_acc = self._maybe_validate(epoch, best_val_acc)
+            jax.block_until_ready(self.state.params)
+
+        wall = time.time() - t_start
+        self._capture_memory()
+        n_images = self.statics.total_steps * cfg.batch_size
+        result = {
+            "wall_time_s": wall,
+            "images_per_sec_per_chip": n_images / wall / max(1, len(self.mesh.devices.flat)),
+            "peak_memory_gb": self.peak_memory_gb,
+            "best_val_accuracy": best_val_acc,
+            "final_step": int(self.state.step),
+        }
+        print(
+            f"Training done in {wall:.2f}s — "
+            f"{result['images_per_sec_per_chip']:.0f} img/s/chip, "
+            f"peak mem {self.peak_memory_gb:.3f} GB"
+        )
+        return result
+
+    # -- validation / eval ---------------------------------------------------
+
+    def current_temperature(self):
+        return som.temperature_schedule(
+            self.state.step,
+            self.statics.total_iterations_float,
+            self.cfg.som.t_max,
+            self.cfg.som.t_min,
+        )
+
+    def _maybe_validate(self, epoch: int, best_val_acc: float) -> float:
+        cfg = self.cfg
+        if not cfg.classification or self.dm.val is None:
+            return best_val_acc
+        if (epoch + 1) % cfg.train.eval_every_n_epochs != 0:
+            return best_val_acc
+        acc, *_ = eval_lib.evaluate_classification(
+            self._jit_eval, self.state.params, self.dm, split=self.dm.val,
+            temperature=self.current_temperature(),
+        )
+        self.logger.log_scalars({"val/accuracy": acc}, step=int(self.state.step))
+        if acc > best_val_acc:
+            best_val_acc = acc
+            self.save_checkpoint(tag="best")
+        return best_val_acc
+
+    def evaluate(self) -> Dict[str, float]:
+        """Final evaluation matching the reference protocol: clustering on
+        the train (concat) set from the last state; classification on the
+        test loader from the in-memory model (``train_vit_som.py:100-112``)."""
+        cfg = self.cfg
+        if cfg.classification:
+            acc, prec, rec, f1, dt = eval_lib.evaluate_classification(
+                self._jit_eval, self.state.params, self.dm,
+                temperature=self.current_temperature(),
+            )
+            return {"accuracy": acc, "precision": prec, "recall": rec, "f1": f1,
+                    "inference_time": dt}
+        p, n, dt = eval_lib.evaluate_clustering(
+            self._jit_eval, self.state.params, self.dm, self.current_temperature()
+        )
+        return {"purity": p, "nmi": n, "inference_time": dt}
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def checkpoint_dir(self, tag: str) -> str:
+        return os.path.abspath(
+            os.path.join(
+                self.cfg.train.checkpoint_dir,
+                self.cfg.model_arch,
+                f"{self.cfg.data.dataset}_run{self.run_id}_{tag}",
+            )
+        )
+
+    def save_checkpoint(self, tag: str = "last"):
+        import orbax.checkpoint as ocp
+
+        path = self.checkpoint_dir(tag)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            path,
+            {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+            },
+            force=True,
+        )
+        ckptr.wait_until_finished()
+
+    def restore_checkpoint(self, tag: str = "last"):
+        import orbax.checkpoint as ocp
+
+        path = self.checkpoint_dir(tag)
+        ckptr = ocp.StandardCheckpointer()
+        target = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        restored = ckptr.restore(path, target)
+        # re-place on the replicated mesh sharding (orbax restores to the
+        # default device; under a mesh the state must be device-replicated)
+        restored = mesh_lib.put_replicated(restored, self.mesh)
+        self.state = steps_lib.TrainState(
+            step=restored["step"],
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+        )
+
+    # -- internals ---------------------------------------------------------
+
+    def _log_epoch(self, epoch: int, mean_metrics):
+        scalars = {f"{k}": float(v) for k, v in mean_metrics.items()}
+        self.logger.log_scalars(scalars, step=int(self.state.step))
+
+    def _capture_memory(self):
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats and "peak_bytes_in_use" in stats:
+                self.peak_memory_gb = stats["peak_bytes_in_use"] / 1e9
+        except Exception:
+            pass
