@@ -1,0 +1,255 @@
+"""Swin Transformer (Flax, from scratch).
+
+The reference instantiates timm's ``swin_tiny_patch4_window7_224`` with
+overridden img/patch/window/dims (``/root/reference/models/swin.py:23-33``).
+This is a first-party Flax implementation of that architecture: patch embed,
+window attention with relative position bias, shifted windows with the
+attention mask, patch merging between stages, stochastic depth, LayerNorm +
+mean-pool head. Odd resolutions (e.g. medmnist 28/4 = 7x7 with window 4) are
+handled by padding to window multiples / even dims, as timm does.
+
+TPU notes: windows are extracted with reshapes/transposes (static shapes) so
+attention runs as one batched [B*nW, heads, w*w, w*w] matmul chain on the
+MXU; the roll for shifted windows is a lax-level rotate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitsom_tpu.config import Config
+from vitsom_tpu.utils.initializers import trunc_or_normal
+
+LN_EPS = 1e-5  # timm swin uses default LayerNorm eps
+
+
+def window_partition(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B*nW, w*w, C]."""
+    b, h, ww, c = x.shape
+    x = x.reshape(b, h // w, w, ww // w, w, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, w * w, c)
+
+
+def window_reverse(x: jnp.ndarray, w: int, h: int, ww: int) -> jnp.ndarray:
+    """[B*nW, w*w, C] -> [B, H, W, C]."""
+    b = x.shape[0] // ((h // w) * (ww // w))
+    x = x.reshape(b, h // w, ww // w, w, w, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, ww, -1)
+
+
+def relative_position_index(w: int) -> np.ndarray:
+    """[w*w, w*w] index into the (2w-1)^2 relative-bias table."""
+    coords = np.stack(np.meshgrid(np.arange(w), np.arange(w), indexing="ij"))
+    coords = coords.reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]  # [2, n, n]
+    rel = rel.transpose(1, 2, 0) + (w - 1)
+    return (rel[:, :, 0] * (2 * w - 1) + rel[:, :, 1]).astype(np.int32)
+
+
+def shift_attn_mask(h: int, w_dim: int, window: int, shift: int) -> np.ndarray:
+    """[nW, w*w, w*w] additive mask (-100 for cross-region pairs) for
+    shifted-window attention."""
+    img_mask = np.zeros((1, h, w_dim, 1), np.float32)
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img_mask[:, hs, ws, :] = cnt
+            cnt += 1
+    mw = np.asarray(window_partition(jnp.asarray(img_mask), window)).reshape(-1, window * window)
+    mask = mw[:, None, :] - mw[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth (per-sample residual drop), timm semantics."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate <= 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    window: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        bnw, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+        qkv = nn.Dense(self.dim * 3, use_bias=True, kernel_init=trunc_or_normal(0.02))(x)
+        qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # [bnw, H, n, hd]
+
+        attn = (q @ k.transpose(0, 1, 3, 2)) * scale  # [bnw, H, n, n]
+
+        table = self.param(
+            "rel_bias_table",
+            trunc_or_normal(0.02),
+            ((2 * self.window - 1) ** 2, self.num_heads),
+        )
+        idx = jnp.asarray(relative_position_index(self.window))
+        bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
+        attn = attn + bias.transpose(2, 0, 1)[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bnw // nw, nw, self.num_heads, n, n)
+            attn = attn + mask[None, :, None, :, :]
+            attn = attn.reshape(bnw, self.num_heads, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = (attn @ v).transpose(0, 2, 1, 3).reshape(bnw, n, c)
+        return nn.Dense(self.dim, kernel_init=trunc_or_normal(0.02))(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    window: int
+    shift: int
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h, w_dim = self.input_resolution
+        window = min(self.window, h, w_dim)
+        shift = 0 if window >= min(h, w_dim) else self.shift
+
+        b, n, c = x.shape
+        shortcut = x
+        x = nn.LayerNorm(epsilon=LN_EPS)(x).reshape(b, h, w_dim, c)
+
+        # pad to window multiples (odd resolutions, e.g. 7x7 with window 4)
+        pad_h = (window - h % window) % window
+        pad_w = (window - w_dim % window) % window
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        hp, wp = h + pad_h, w_dim + pad_w
+
+        if shift > 0:
+            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(shift_attn_mask(hp, wp, window, shift))
+        else:
+            mask = None
+
+        xw = window_partition(x, window)
+        xw = WindowAttention(self.dim, window, self.num_heads)(xw, mask)
+        x = window_reverse(xw, window, hp, wp)
+
+        if shift > 0:
+            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+        if pad_h or pad_w:
+            x = x[:, :h, :w_dim, :]
+        x = x.reshape(b, n, c)
+
+        x = shortcut + DropPath(self.drop_path)(x, deterministic)
+        y = nn.LayerNorm(epsilon=LN_EPS)(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), kernel_init=trunc_or_normal(0.02))(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, kernel_init=trunc_or_normal(0.02))(y)
+        return x + DropPath(self.drop_path)(y, deterministic)
+
+
+class PatchMerging(nn.Module):
+    dim: int
+    input_resolution: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x):
+        h, w_dim = self.input_resolution
+        b, n, c = x.shape
+        x = x.reshape(b, h, w_dim, c)
+        if h % 2 or w_dim % 2:
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w_dim % 2), (0, 0)))
+        x = jnp.concatenate(
+            [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
+            axis=-1,
+        )
+        x = x.reshape(b, -1, 4 * c)
+        x = nn.LayerNorm(epsilon=LN_EPS)(x)
+        return nn.Dense(2 * self.dim, use_bias=False, kernel_init=trunc_or_normal(0.02))(x)
+
+
+class SwinTransformer(nn.Module):
+    img_size: int = 224
+    patch_size: int = 4
+    in_chans: int = 3
+    num_classes: int = 1000
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window: int = 7
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            kernel_init=trunc_or_normal(0.02),
+        )(x)
+        b, h, w_dim, c = x.shape
+        x = x.reshape(b, h * w_dim, c)
+        x = nn.LayerNorm(epsilon=LN_EPS)(x)
+
+        total_blocks = sum(self.depths)
+        dpr = np.linspace(0, self.drop_path_rate, total_blocks)
+        blk = 0
+        res = (h, w_dim)
+        dim = self.embed_dim
+        for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+            for i in range(depth):
+                x = SwinBlock(
+                    dim=dim,
+                    input_resolution=res,
+                    num_heads=heads,
+                    window=self.window,
+                    shift=0 if i % 2 == 0 else self.window // 2,
+                    mlp_ratio=self.mlp_ratio,
+                    drop_path=float(dpr[blk]),
+                )(x, deterministic)
+                blk += 1
+            if stage < len(self.depths) - 1:
+                x = PatchMerging(dim, res)(x)
+                res = ((res[0] + 1) // 2, (res[1] + 1) // 2)
+                dim *= 2
+
+        x = nn.LayerNorm(epsilon=LN_EPS)(x)
+        x = x.mean(axis=1)  # global average pool
+        return nn.Dense(self.num_classes, kernel_init=trunc_or_normal(0.02))(x)
+
+
+def build_swin(cfg: Config) -> SwinTransformer:
+    return SwinTransformer(
+        img_size=cfg.data.input_size,
+        patch_size=cfg.swin.patch_size,
+        in_chans=cfg.data.num_channels,
+        num_classes=cfg.data.num_classes,
+        embed_dim=cfg.swin.embed_dim,
+        depths=tuple(cfg.swin.depths),
+        num_heads=tuple(cfg.swin.num_heads),
+        window=cfg.swin.window_size,
+        mlp_ratio=float(cfg.swin.mlp_ratio),
+    )

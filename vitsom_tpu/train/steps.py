@@ -262,14 +262,26 @@ def make_classifier_train_step(
     smoothing: float,
     loss_name: str = "train/cls_loss",
 ):
-    def loss_fn(params, batch):
-        logits = model.apply({"params": params}, batch["image"])
+    # swin/mobile_vit use stochastic-depth / dropout RNG during training
+    stochastic = cfg.model_arch in ("swin", "deit", "mobile_vit")
+    base_key = jax.random.key(cfg.train.seed + 7919)
+
+    def loss_fn(params, batch, step):
+        if stochastic:
+            logits = model.apply(
+                {"params": params},
+                batch["image"],
+                deterministic=False,
+                rngs={"dropout": jax.random.fold_in(base_key, step)},
+            )
+        else:
+            logits = model.apply({"params": params}, batch["image"])
         loss = cross_entropy(logits, batch["label"], smoothing)
         return loss, {loss_name: loss}
 
     def train_step(state: TrainState, batch):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
+            state.params, batch, state.step
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
