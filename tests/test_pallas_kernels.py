@@ -1,0 +1,223 @@
+"""Pallas kernel equivalence tests vs. the XLA oracles.
+
+Run on the CPU test mesh via Pallas interpreter mode (the kernels detect
+non-TPU backends and set ``interpret=True``), so the exact code path that
+compiles on TPU is validated in CI — SURVEY.md §4's
+"Pallas-kernel-vs-XLA-reference equivalence tests".
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitsom_tpu.ops.attention import xla_attention
+from vitsom_tpu.ops.attention_pallas import fused_attention
+from vitsom_tpu.ops import som_pallas
+from vitsom_tpu.som import layer as som
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "b,n,h,hd",
+    [
+        (2, 197, 2, 8),  # vit_som mnist clustering shape (emb 16, heads 2)
+        (2, 65, 3, 64),  # vit_som cifar cls shape (emb 192, heads 3)
+        (1, 17, 4, 48),  # decoder-ish odd shape
+    ],
+)
+def test_fused_attention_matches_xla(b, n, h, hd):
+    key = jax.random.key(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, n, h, hd), jnp.float32)
+    k = jax.random.normal(kk, (b, n, h, hd), jnp.float32)
+    v = jax.random.normal(kv, (b, n, h, hd), jnp.float32)
+
+    ref, _ = xla_attention(q, k, v)
+    out = fused_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_attention_grads_match_xla():
+    key = jax.random.key(1)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    shape = (2, 33, 2, 16)
+    q = jax.random.normal(kq, shape, jnp.float32)
+    k = jax.random.normal(kk, shape, jnp.float32)
+    v = jax.random.normal(kv, shape, jnp.float32)
+    cotan = jax.random.normal(kg, shape, jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v) * cotan)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v)[0] * cotan)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_attention_jits_inside_larger_fn():
+    q = jnp.ones((1, 9, 1, 8), jnp.float32)
+
+    @jax.jit
+    def f(q):
+        return fused_attention(q, q, q).sum()
+
+    assert np.isfinite(float(f(q)))
+
+
+# ---------------------------------------------------------------------------
+# fused SOM
+# ---------------------------------------------------------------------------
+
+
+def _xla_som(x, protos, grid_d2, temperature, distance_fcn):
+    distances = som.compute_distances(x, protos, distance_fcn)
+    bmu_idx = som.bmu(distances)
+    weights = som.neighborhood_weights(bmu_idx, grid_d2, temperature)
+    loss = som.som_loss(jax.lax.stop_gradient(weights), distances)
+    return loss, bmu_idx, distances
+
+
+@pytest.mark.parametrize("distance_fcn", ["cosine", "euclidean"])
+@pytest.mark.parametrize("topology", ["square", "hexa"])
+@pytest.mark.parametrize(
+    "b,map_size,d",
+    [
+        (16, (8, 8), 40),     # small
+        (8, (12, 11), 130),   # non-square map, P=132 not tile-aligned, B<tile
+        (13, (24, 24), 65),   # odd batch, P=576
+    ],
+)
+def test_fused_som_matches_xla(distance_fcn, topology, b, map_size, d):
+    p = map_size[0] * map_size[1]
+    key = jax.random.key(2)
+    kx, kp = jax.random.split(key)
+    x = jax.random.normal(kx, (b, d), jnp.float32)
+    protos = jax.random.normal(kp, (p, d), jnp.float32) * 0.5
+    temp = jnp.asarray(3.7, jnp.float32)
+    grid_d2 = jnp.asarray(som.grid_sq_distances(map_size, topology))
+
+    loss_ref, bmu_ref, dist_ref = _xla_som(x, protos, grid_d2, temp, distance_fcn)
+    fused = som_pallas.make_fused_som(map_size, topology, distance_fcn)
+    loss, bmu_idx, dist = jax.jit(fused)(x, protos, temp)
+
+    np.testing.assert_array_equal(np.asarray(bmu_idx), np.asarray(bmu_ref))
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(dist_ref), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(loss), float(loss_ref), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("distance_fcn", ["cosine", "euclidean"])
+def test_fused_som_grads_match_xla(distance_fcn):
+    map_size, topology, b, d = (6, 7), "square", 12, 33
+    p = map_size[0] * map_size[1]
+    key = jax.random.key(3)
+    kx, kp = jax.random.split(key)
+    x = jax.random.normal(kx, (b, d), jnp.float32)
+    protos = jax.random.normal(kp, (p, d), jnp.float32)
+    temp = jnp.asarray(1.9, jnp.float32)
+    grid_d2 = jnp.asarray(som.grid_sq_distances(map_size, topology))
+
+    fused = som_pallas.make_fused_som(map_size, topology, distance_fcn)
+
+    def loss_fused(x, protos):
+        loss, _, _ = fused(x, protos, temp)
+        return loss
+
+    def loss_ref(x, protos):
+        loss, _, _ = _xla_som(x, protos, grid_d2, temp, distance_fcn)
+        return loss
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, protos)
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, protos)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), atol=1e-6, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_r), atol=1e-6, rtol=1e-4)
+
+
+def test_grid_d2_rows_matches_table():
+    for topology in ("square", "hexa"):
+        map_size = (5, 9)
+        p = map_size[0] * map_size[1]
+        table = som.grid_sq_distances(map_size, topology)
+        bmu_idx = jnp.asarray([0, 7, 44, 13], jnp.int32)
+        rows = som_pallas.grid_d2_rows(bmu_idx, p, map_size[1], topology)
+        np.testing.assert_allclose(
+            np.asarray(rows), table[np.asarray(bmu_idx)], atol=1e-5, rtol=1e-5
+        )
+
+
+def test_fused_som_rejects_manhattan():
+    with pytest.raises(ValueError):
+        som_pallas.make_fused_som((8, 8), "square", "manhattan")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: fused train step == XLA train step
+# ---------------------------------------------------------------------------
+
+
+def test_vit_som_train_step_pallas_matches_xla():
+    """Three optimizer steps through the fused SOM path must track the XLA
+    path to float tolerance (same grads -> same params evolution)."""
+    import dataclasses
+
+    from vitsom_tpu.config import Config, DataConfig, SOMConfig, TrainConfig, ViTConfig
+    from vitsom_tpu.models.vit_som import ViTSOM
+    from vitsom_tpu.train import optim, schedules
+    from vitsom_tpu.train import steps as steps_lib
+
+    def build(use_pallas):
+        cfg = Config(
+            model_arch="vit_som",
+            total_epochs=2,
+            batch_size=4,
+            gamma=0.005,
+            som=SOMConfig(map_size=(4, 4), t_max=5.0, t_min=0.1, distance_fcn="cosine"),
+            vit=ViTConfig(patch_size=7, emb_dim=16, depth=1, heads=2, dec_emb_dim=8, dec_depth=1),
+            data=DataConfig(dataset="mnist", num_classes=0, num_channels=1, input_size=28),
+            train=TrainConfig(use_pallas_som=use_pallas),
+        ).validate()
+        model = ViTSOM(cfg)
+        x = jnp.zeros((4, 28, 28, 1), jnp.float32)
+        params = model.init(jax.random.key(0), x)["params"]
+        statics = steps_lib.StepStatics(
+            steps_per_epoch=3, total_epochs=2, dataset_len=12, batch_size=4
+        )
+        sched = schedules.make_lr_schedule(
+            cfg.optimizer, cfg.total_epochs, 3, optim.base_learning_rate(cfg)
+        )
+        tx = optim.make_optimizer(cfg, params, sched)
+        state = steps_lib.TrainState(
+            step=jnp.asarray(0, jnp.int32), params=params, opt_state=tx.init(params)
+        )
+        step_fn = jax.jit(
+            steps_lib.make_vit_som_train_step(cfg, model, tx, statics, sched)
+        )
+        return state, step_fn
+
+    key = jax.random.key(7)
+    xs = jax.random.uniform(key, (3, 4, 28, 28, 1), jnp.float32)
+    state_x, step_x = build(False)
+    state_p, step_p = build(True)
+    for i in range(3):
+        batch = {"image": xs[i], "label": jnp.zeros((4,), jnp.int32)}
+        state_x, m_x = step_x(state_x, batch)
+        state_p, m_p = step_p(state_p, batch)
+        np.testing.assert_allclose(
+            float(m_p["train/som_loss"]), float(m_x["train/som_loss"]), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(m_p["train/total_loss"]), float(m_x["train/total_loss"]), rtol=1e-5, atol=1e-6
+        )
+
+    flat_x = jax.tree_util.tree_leaves(state_x.params)
+    flat_p = jax.tree_util.tree_leaves(state_p.params)
+    for a, b in zip(flat_x, flat_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)

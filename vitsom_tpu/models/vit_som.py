@@ -51,6 +51,15 @@ class ViTSOM(nn.Module):
         logits = self.cls_head(cls_token) if self.cfg.classification else None
         return cls_token, recon, logits, distances, bmu_idx
 
+    def features(self, x):
+        """(cls_token, recon, logits, z) without the SOM distance matrix —
+        the entry point for the fused Pallas SOM path, which consumes the
+        latent ``z`` and the ``prototypes`` param directly."""
+        cls_token, patches, recon = self.vit(x)
+        z = self.som_input(cls_token, patches)
+        logits = self.cls_head(cls_token) if self.cfg.classification else None
+        return cls_token, recon, logits, z
+
     def get_latent_representation(self, x):
         """Flattened patch tokens (or CLS) for UMAP viz — fixes the
         reference's broken 4-tuple unpack (``models/vit_som.py:179``)."""

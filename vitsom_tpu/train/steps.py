@@ -96,15 +96,35 @@ def make_vit_som_train_step(
     smoothing = cfg.optimizer.smoothing
     gamma = cfg.gamma
 
+    # fused Pallas SOM path: distances + BMU + weights + loss in one kernel
+    # (manhattan stays on XLA — only DESOM configs use it)
+    use_fused = cfg.train.use_pallas_som and cfg.som.distance_fcn in (
+        "euclidean",
+        "cosine",
+    )
+    if use_fused:
+        from vitsom_tpu.ops import som_pallas
+
+        fused_som = som_pallas.make_fused_som(
+            cfg.som.map_size, cfg.som.topology, cfg.som.distance_fcn
+        )
+
     def loss_fn(params, batch, step):
         x, y = batch["image"], batch["label"]
-        cls_tok, recon, logits, distances, bmu_idx = model.apply({"params": params}, x)
-
         temperature = som.temperature_schedule(
             step, total_iters, cfg.som.t_max, cfg.som.t_min
         )
-        weights = som.neighborhood_weights(bmu_idx, grid_d2, temperature)
-        som_l = som.som_loss(jax.lax.stop_gradient(weights), distances)
+        if use_fused:
+            cls_tok, recon, logits, z = model.apply(
+                {"params": params}, x, method="features"
+            )
+            som_l, bmu_idx, _ = fused_som(z, params["prototypes"], temperature)
+        else:
+            cls_tok, recon, logits, distances, bmu_idx = model.apply(
+                {"params": params}, x
+            )
+            weights = som.neighborhood_weights(bmu_idx, grid_d2, temperature)
+            som_l = som.som_loss(jax.lax.stop_gradient(weights), distances)
         cur_gamma = schedules.gamma_ramp(step, gamma, ramp_end)
 
         if classification:

@@ -185,19 +185,21 @@ class Trainer:
         mesh = self.mesh
 
         def epoch_fn(state, key, images, labels):
+            # One bulk gather per epoch (contiguous [steps, bs, ...] batches),
+            # NOT one gather per step inside the scan — per-step gathers from
+            # the full dataset cost ~3x the train step itself on TPU.
             perm = jax.random.permutation(key, images.shape[0])[: steps * bs]
-            idxs = perm.reshape(steps, bs)
+            imgs = jnp.take(images, perm, axis=0).reshape(
+                (steps, bs) + images.shape[1:]
+            )
+            lbls = jnp.take(labels, perm, axis=0).reshape(steps, bs)
 
-            def body(state, idx):
-                batch = {
-                    "image": jnp.take(images, idx, axis=0),
-                    "label": jnp.take(labels, idx, axis=0),
-                }
+            def body(state, batch):
                 batch = mesh_lib.shard_batch(batch, mesh)
                 state, m = train_step(state, batch)
                 return state, m
 
-            state, ms = jax.lax.scan(body, state, idxs)
+            state, ms = jax.lax.scan(body, state, {"image": imgs, "label": lbls})
             mean_metrics = jax.tree_util.tree_map(lambda x: jnp.mean(x), ms)
             last_metrics = jax.tree_util.tree_map(lambda x: x[-1], ms)
             return state, mean_metrics, last_metrics
