@@ -97,6 +97,37 @@ def classification_metrics(y_true: np.ndarray, y_pred: np.ndarray) -> Dict[str, 
     }
 
 
+def quantization_error(distances: np.ndarray) -> float:
+    """Mean distance from each sample to its BMU.
+
+    SOM quality metric referenced by the reference's stale
+    ``experiments/tests/test_som.py:46-49`` (its implementation was removed
+    from the repo); standard definition: E_q = mean_b min_p d(x_b, w_p).
+    """
+    distances = np.asarray(distances)
+    return float(distances.min(axis=1).mean())
+
+
+def topographic_error(
+    distances: np.ndarray, map_size: Tuple[int, int], topology: str = "square"
+) -> float:
+    """Fraction of samples whose best and second-best matching units are not
+    adjacent on the map grid (same provenance as ``quantization_error``).
+
+    Adjacency: squared grid distance <= 2 for square (8-neighborhood, the
+    SOM-toolbox convention), <= 1 + 1e-6 for hexa (6-neighborhood).
+    """
+    from vitsom_tpu.som.layer import grid_positions
+
+    distances = np.asarray(distances)
+    order = np.argsort(distances, axis=1)[:, :2]
+    pos = grid_positions(tuple(map_size), topology)
+    diff = pos[order[:, 0]] - pos[order[:, 1]]
+    d2 = np.sum(diff * diff, axis=1)
+    thresh = 2.0 + 1e-6 if topology == "square" else 1.0 + 1e-6
+    return float(np.mean(d2 > thresh))
+
+
 def aggregate_runs(per_run: Dict[str, list]) -> Dict[str, Tuple[float, float]]:
     """mean/std over the 5-run benchmark loop (reference
     ``train_vit_som.py:120-130``)."""

