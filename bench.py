@@ -37,6 +37,7 @@ def main():
             "data.allow_synthetic": True,  # zero-egress image: MNIST-shaped stand-in
             "data.synthetic_size": 70000,  # == len(MNIST train+test concat)
             "train.n_runs": 1,
+            "train.use_pallas_som": True,  # fused SOM kernel (tests prove parity)
         },
     )
     dm = build_datamodule(cfg)
@@ -48,18 +49,36 @@ def main():
     key = jax.random.key(0)
     state = trainer.state
 
-    # warmup epoch: compile + run
-    key, sub = jax.random.split(key)
-    state, _, _ = epoch_fn(state, sub, images, labels)
-    jax.block_until_ready(state.params)
+    def run_epoch(state, key):
+        """One epoch with an airtight fence: device_get of the step counter
+        data-depends on the whole epoch, so the transfer cannot complete
+        early. (block_until_ready has been observed to return before the
+        donated-state chain finishes on this tunneled backend.)"""
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        state, _, _ = epoch_fn(state, sub, images, labels)
+        step = int(jax.device_get(state.step))
+        return state, key, time.time() - t0, step
+
+    # Warm up until steady state: the first 2-3 executions of a freshly
+    # compiled program run 10-20x slow on this backend (executable
+    # upload/warm-up), and tunnel performance varies run to run — so
+    # calibrate instead of assuming a fixed warmup count.
+    epoch_times = []
+    for i in range(12):
+        state, key, dt, step = run_epoch(state, key)
+        epoch_times.append(dt)
+        print(f"# warmup epoch {i}: {dt:.2f}s (step={step})", file=sys.stderr)
+        if len(epoch_times) >= 3 and all(
+            t < 1.25 * min(epoch_times) for t in epoch_times[-2:]
+        ):
+            break
 
     # timed epochs (steady state)
     n_epochs = 3
     t0 = time.time()
     for _ in range(n_epochs):
-        key, sub = jax.random.split(key)
-        state, _, _ = epoch_fn(state, sub, images, labels)
-    jax.block_until_ready(state.params)
+        state, key, _, step = run_epoch(state, key)
     dt = time.time() - t0
 
     steps = dm.steps_per_epoch

@@ -209,6 +209,8 @@ class TrainConfig:
     # host loop
     checkpoint_every_n_epochs: int = 0  # 0 = only at end
     resume: bool = False
+    # observability: trace this epoch with jax.profiler (-1 = off)
+    profile_epoch: int = -1
 
 
 @dataclass(frozen=True)

@@ -27,6 +27,10 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devs), (DATA_AXIS,))
 
 
+def is_single_device(mesh: Mesh) -> bool:
+    return mesh.devices.size == 1
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
@@ -36,7 +40,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Constrain the leading axis of every leaf to the data axis."""
+    """Constrain the leading axis of every leaf to the data axis.
+
+    No-op on a 1-device mesh: SPMD constraints on a single chip trigger the
+    partitioner's copy-insertion and cost real wall-clock (measured ~8x per
+    epoch inside lax.scan on v5e) while being semantically vacuous.
+    """
+    if is_single_device(mesh):
+        return batch
     s = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.lax.with_sharding_constraint(x, s), batch)
 
@@ -45,16 +56,23 @@ def shard_stacked_batches(batches, mesh: Mesh):
     """Constrain [steps, batch, ...] epoch stacks: steps replicated, batch
     axis sharded on 'data'.
 
-    Apply this ONCE on the stacked arrays outside ``lax.scan`` — a
-    ``with_sharding_constraint`` inside the scan body defeats XLA's loop
-    fusion and costs ~8x wall-clock per epoch (measured on v5e); scan slices
-    inherit this sharding, so the multi-chip semantics are identical.
+    Apply this ONCE on the stacked arrays outside ``lax.scan``, never inside
+    the body — the scan slices inherit the sharding, and a per-step
+    ``with_sharding_constraint`` defeats XLA loop optimization. No-op on a
+    1-device mesh (see ``shard_batch``).
     """
+    if is_single_device(mesh):
+        return batches
     s = NamedSharding(mesh, P(None, DATA_AXIS))
     return jax.tree_util.tree_map(lambda x: jax.lax.with_sharding_constraint(x, s), batches)
 
 
 def put_replicated(tree, mesh: Mesh):
+    """Replicate a pytree across the mesh (plain single-device put on a
+    1-device mesh — NamedSharding placement there makes every downstream jit
+    compile through the SPMD partitioner for nothing)."""
+    if is_single_device(mesh):
+        return jax.device_put(tree, mesh.devices.flat[0])
     return jax.device_put(tree, replicated(mesh))
 
 

@@ -138,6 +138,14 @@ class Trainer:
         self.mesh = mesh_lib.make_mesh(
             cfg.train.mesh_shape[0] if cfg.train.mesh_shape else None
         )
+        if cfg.train.use_pallas_som and not mesh_lib.is_single_device(self.mesh):
+            # pallas_call has no SPMD partitioning rule — under a >1-device
+            # mesh XLA would all-gather its operands; fall back to the XLA SOM
+            # (numerically identical, see tests/test_pallas_kernels.py).
+            print("use_pallas_som disabled on multi-device mesh (XLA SOM path)")
+            self.cfg = cfg = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, use_pallas_som=False)
+            )
         self.model = build_model(cfg)
         (
             self._train_step,
@@ -221,10 +229,25 @@ class Trainer:
             images, labels = self.dm.device_arrays(self.dm.train, train_mode=True)
             epoch_fn = self._build_epoch_fn(images.shape[0])
             key = jax.random.key(cfg.train.seed + 1000 * self.run_id)
+            epoch_images = self.dm.steps_per_epoch * cfg.batch_size
+            n_chips = max(1, self.mesh.devices.size)
             for epoch in range(cfg.total_epochs):
                 key, sub = jax.random.split(key)
-                self.state, mean_m, last_m = epoch_fn(self.state, sub, images, labels)
-                self._log_epoch(epoch, mean_m)
+                t_e = time.time()
+                with self._maybe_profile(epoch):
+                    self.state, mean_m, last_m = epoch_fn(self.state, sub, images, labels)
+                    jax.block_until_ready(self.state.step)
+                # ONE batched device->host pull per epoch: each individual
+                # scalar fetch costs ~65ms RTT on tunneled TPU backends, so
+                # per-metric float() calls would dominate the epoch itself.
+                host = jax.device_get({"m": mean_m, "step": self.state.step})
+                dt_e = time.time() - t_e
+                step = int(host["step"])
+                scalars = {k: float(v) for k, v in host["m"].items()}
+                scalars["perf/images_per_sec_per_chip"] = (
+                    epoch_images / dt_e / n_chips
+                )
+                self.logger.log_scalars(scalars, step=step)
                 best_val_acc = self._maybe_validate(epoch, best_val_acc)
             jax.block_until_ready(self.state.params)
         else:
@@ -236,16 +259,20 @@ class Trainer:
                 accum = []
                 for i, batch in enumerate(it):
                     self.state, m = self._jit_step(self.state, batch)
-                    if (i + 1) % step_in_epoch_log == 0:
-                        self.logger.log_scalars(
-                            {k: float(v) for k, v in m.items()},
-                            step=int(self.state.step),
-                        )
+                    # keep metrics ON DEVICE; every host pull costs a tunnel
+                    # RTT (~65ms) — transfer once per logging interval/epoch
                     accum.append(m)
+                    if (i + 1) % step_in_epoch_log == 0:
+                        host = jax.device_get({"m": m, "step": self.state.step})
+                        self.logger.log_scalars(
+                            {k: float(v) for k, v in host["m"].items()},
+                            step=int(host["step"]),
+                        )
                 if accum:
-                    mean_m = jax.tree_util.tree_map(
-                        lambda *xs: float(np.mean([np.asarray(x) for x in xs])), *accum
+                    stacked = jax.device_get(
+                        jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *accum)
                     )
+                    mean_m = {k: float(np.mean(v)) for k, v in stacked.items()}
                     self._log_epoch(epoch, mean_m)
                 best_val_acc = self._maybe_validate(epoch, best_val_acc)
             jax.block_until_ready(self.state.params)
@@ -359,9 +386,25 @@ class Trainer:
 
     # -- internals ---------------------------------------------------------
 
+    def _maybe_profile(self, epoch: int):
+        """``jax.profiler`` trace of one epoch when ``train.profile_epoch``
+        selects it (SURVEY.md §5: the reference has no tracing beyond
+        ``time.time()``; here a TensorBoard-viewable device trace is one
+        config flag away)."""
+        import contextlib
+
+        if self.cfg.train.profile_epoch >= 0 and epoch == self.cfg.train.profile_epoch:
+            trace_dir = os.path.join(
+                self.cfg.train.log_dir, self.cfg.model_arch,
+                self.cfg.data.dataset, f"run_{self.run_id}", "profile",
+            )
+            return jax.profiler.trace(trace_dir)
+        return contextlib.nullcontext()
+
     def _log_epoch(self, epoch: int, mean_metrics):
-        scalars = {f"{k}": float(v) for k, v in mean_metrics.items()}
-        self.logger.log_scalars(scalars, step=int(self.state.step))
+        host = jax.device_get({"m": mean_metrics, "step": self.state.step})
+        scalars = {f"{k}": float(v) for k, v in host["m"].items()}
+        self.logger.log_scalars(scalars, step=int(host["step"]))
 
     def _capture_memory(self):
         try:
