@@ -31,47 +31,45 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float):
-    """One (batch, head) program: refs are [1, N, 1, hd] blocks."""
-    q = q_ref[0, :, 0, :]  # [N, hd]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """One (batch, head) program: refs are [1, 1, N, hd] blocks (the last
+    two block dims must equal the array dims or be tile-aligned on TPU)."""
+    q = q_ref[0, 0, :, :]  # [N, hd]
+    k = k_ref[0, 0, :, :]
+    v = v_ref[0, 0, :, :]
 
     scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-    # Block shape == full N, but Mosaic may pad the trailing tile; mask any
-    # padded key columns out of the softmax.
-    n_pad = scores.shape[-1]
-    if n_pad != seq_len:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
-        scores = jnp.where(col < seq_len, scores, -jnp.inf)
     attn = jax.nn.softmax(scores, axis=-1)
     out = jnp.dot(attn.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 
 def _fused_attention_fwd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
     b, n, h, hd = q.shape
     scale = hd**-0.5
-    kernel = functools.partial(_attn_kernel, seq_len=n, scale=scale)
+    kernel = functools.partial(_attn_kernel, scale=scale)
 
+    # [B, N, H, hd] -> [B, H, N, hd] so the block's trailing dims are (N, hd)
+    qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
     block = pl.BlockSpec(
-        (1, n, 1, hd),
-        lambda i, j: (i, 0, j, 0),
+        (1, 1, n, hd),
+        lambda i, j: (i, j, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b, h),
         in_specs=[block, block, block],
         out_specs=block,
-        out_shape=jax.ShapeDtypeStruct((b, n, h, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, hd), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * h * n * n * hd,
             bytes_accessed=4 * b * n * h * hd * 4,
             transcendentals=b * h * n * n,
         ),
         interpret=_use_interpret(),
-    )(q, k, v)
+    )(qt, kt, vt)
+    return out.transpose(0, 2, 1, 3)
 
 
 @jax.custom_vjp

@@ -281,39 +281,58 @@ def make_classifier_train_step(
     lr_schedule: Callable,
     smoothing: float,
     loss_name: str = "train/cls_loss",
+    has_batch_stats: bool = False,
 ):
     # swin/mobile_vit use stochastic-depth / dropout RNG during training
     stochastic = cfg.model_arch in ("swin", "deit", "mobile_vit")
     base_key = jax.random.key(cfg.train.seed + 7919)
 
-    def loss_fn(params, batch, step):
+    def loss_fn(params, batch_stats, batch, step):
+        variables = {"params": params}
+        kwargs = {}
         if stochastic:
-            logits = model.apply(
-                {"params": params},
-                batch["image"],
+            kwargs = dict(
                 deterministic=False,
                 rngs={"dropout": jax.random.fold_in(base_key, step)},
             )
+        if has_batch_stats:
+            variables["batch_stats"] = batch_stats
+            logits, mutated = model.apply(
+                variables, batch["image"], mutable=["batch_stats"], **kwargs
+            )
+            new_bs = mutated["batch_stats"]
         else:
-            logits = model.apply({"params": params}, batch["image"])
+            logits = model.apply(variables, batch["image"], **kwargs)
+            new_bs = batch_stats
         loss = cross_entropy(logits, batch["label"], smoothing)
-        return loss, {loss_name: loss}
+        return loss, ({loss_name: loss}, new_bs)
 
     def train_step(state: TrainState, batch):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, state.step
+        (_, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, state.step
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["hp/lr"] = lr_schedule(state.step)
-        return state.replace(step=state.step + 1, params=params, opt_state=opt_state), metrics
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                batch_stats=new_bs,
+            ),
+            metrics,
+        )
 
     return train_step
 
 
-def make_classifier_eval_step(cfg: Config, model):
-    def eval_step(params, batch, temperature=None):
-        logits = model.apply({"params": params}, batch["image"])
+def make_classifier_eval_step(cfg: Config, model, has_batch_stats: bool = False):
+    def eval_step(params, batch, temperature=None, batch_stats=None):
+        variables = {"params": params}
+        if has_batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits = model.apply(variables, batch["image"])
         return {"logits": logits, "bmu": jnp.zeros((logits.shape[0],), jnp.int32)}
 
     return eval_step

@@ -101,7 +101,9 @@ def make_steps(cfg: Config, model, dataset_len: int, steps_per_epoch: int):
         )
 
     x = example_input(cfg, batch=2)
-    params = model.init(jax.random.key(cfg.train.seed), x)["params"]
+    variables = model.init(jax.random.key(cfg.train.seed), x)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")  # BatchNorm models (mobile_vit)
     tx = optim.make_optimizer(cfg, params, lr_sched)
 
     if cfg.model_arch == "vit_som":
@@ -117,12 +119,15 @@ def make_steps(cfg: Config, model, dataset_len: int, steps_per_epoch: int):
         eval_step = steps_lib.make_classifier_eval_step(cfg, model)
     else:
         smoothing = cfg.optimizer.smoothing if cfg.model_arch != "vit" else 0.0
+        has_bs = batch_stats is not None
         train_step = steps_lib.make_classifier_train_step(
-            cfg, model, tx, lr_sched, smoothing
+            cfg, model, tx, lr_sched, smoothing, has_batch_stats=has_bs
         )
-        eval_step = steps_lib.make_classifier_eval_step(cfg, model)
+        eval_step = steps_lib.make_classifier_eval_step(
+            cfg, model, has_batch_stats=has_bs
+        )
 
-    return train_step, eval_step, statics, lr_sched, tx, params
+    return train_step, eval_step, statics, lr_sched, tx, params, batch_stats
 
 
 # ---------------------------------------------------------------------------
@@ -154,12 +159,21 @@ class Trainer:
             self.lr_schedule,
             self.tx,
             init_params,
+            init_batch_stats,
         ) = make_steps(cfg, self.model, self.dm.n_train, self.dm.steps_per_epoch)
 
         params = mesh_lib.put_replicated(init_params, self.mesh)
+        batch_stats = (
+            mesh_lib.put_replicated(init_batch_stats, self.mesh)
+            if init_batch_stats is not None
+            else None
+        )
         opt_state = self.tx.init(params)
         self.state = steps_lib.TrainState(
-            step=jnp.asarray(0, jnp.int32), params=params, opt_state=opt_state
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            batch_stats=batch_stats,
         )
 
         donate = (0,) if cfg.train.donate_state else ()
@@ -304,6 +318,15 @@ class Trainer:
             self.cfg.som.t_min,
         )
 
+    def eval_fn(self):
+        """Jitted eval step with the CURRENT batch_stats bound (BatchNorm
+        models — mobile_vit); a plain 3-arg step otherwise."""
+        if self.state.batch_stats is None:
+            return self._jit_eval
+        bs = self.state.batch_stats
+        jit_eval = self._jit_eval
+        return lambda p, b, t: jit_eval(p, b, t, bs)
+
     def _maybe_validate(self, epoch: int, best_val_acc: float) -> float:
         cfg = self.cfg
         if not cfg.classification or self.dm.val is None:
@@ -311,7 +334,7 @@ class Trainer:
         if (epoch + 1) % cfg.train.eval_every_n_epochs != 0:
             return best_val_acc
         acc, *_ = eval_lib.evaluate_classification(
-            self._jit_eval, self.state.params, self.dm, split=self.dm.val,
+            self.eval_fn(), self.state.params, self.dm, split=self.dm.val,
             temperature=self.current_temperature(),
         )
         self.logger.log_scalars({"val/accuracy": acc}, step=int(self.state.step))
@@ -327,13 +350,13 @@ class Trainer:
         cfg = self.cfg
         if cfg.classification:
             acc, prec, rec, f1, dt = eval_lib.evaluate_classification(
-                self._jit_eval, self.state.params, self.dm,
+                self.eval_fn(), self.state.params, self.dm,
                 temperature=self.current_temperature(),
             )
             return {"accuracy": acc, "precision": prec, "recall": rec, "f1": f1,
                     "inference_time": dt}
         p, n, dt = eval_lib.evaluate_clustering(
-            self._jit_eval, self.state.params, self.dm, self.current_temperature()
+            self.eval_fn(), self.state.params, self.dm, self.current_temperature()
         )
         return {"purity": p, "nmi": n, "inference_time": dt}
 
@@ -353,15 +376,14 @@ class Trainer:
 
         path = self.checkpoint_dir(tag)
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(
-            path,
-            {
-                "params": self.state.params,
-                "opt_state": self.state.opt_state,
-                "step": self.state.step,
-            },
-            force=True,
-        )
+        payload = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        if self.state.batch_stats is not None:
+            payload["batch_stats"] = self.state.batch_stats
+        ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
 
     def restore_checkpoint(self, tag: str = "last"):
@@ -374,6 +396,8 @@ class Trainer:
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
+        if self.state.batch_stats is not None:
+            target["batch_stats"] = self.state.batch_stats
         restored = ckptr.restore(path, target)
         # re-place on the replicated mesh sharding (orbax restores to the
         # default device; under a mesh the state must be device-replicated)
@@ -382,6 +406,7 @@ class Trainer:
             step=restored["step"],
             params=restored["params"],
             opt_state=restored["opt_state"],
+            batch_stats=restored.get("batch_stats"),
         )
 
     # -- internals ---------------------------------------------------------
