@@ -65,12 +65,13 @@ def unpatchify(x: jnp.ndarray, patch_size: int, channels: int) -> jnp.ndarray:
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform(), bias_init=nn.initializers.zeros)(x)
+        x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform(), bias_init=nn.initializers.zeros, dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=False)  # torch nn.GELU default is exact erf
-        x = nn.Dense(self.out_dim, kernel_init=xavier_uniform(), bias_init=nn.initializers.zeros)(x)
+        x = nn.Dense(self.out_dim, kernel_init=xavier_uniform(), bias_init=nn.initializers.zeros, dtype=self.dtype)(x)
         return x
 
 
@@ -79,6 +80,7 @@ class Attention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     attn_impl: str = "xla"  # "xla" | "pallas"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, return_attn: bool = False):
@@ -89,6 +91,7 @@ class Attention(nn.Module):
             use_bias=self.qkv_bias,
             kernel_init=xavier_uniform(),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
         )(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
@@ -97,9 +100,10 @@ class Attention(nn.Module):
             q, k, v, impl=self.attn_impl, return_attn=return_attn
         )
 
-        out = out.reshape(b, n, c)
+        out = out.reshape(b, n, c).astype(self.dtype)
         out = nn.Dense(
-            self.dim, kernel_init=xavier_uniform(), bias_init=nn.initializers.zeros
+            self.dim, kernel_init=xavier_uniform(), bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
         )(out)
         return out, attn
 
@@ -112,14 +116,20 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     attn_impl: str = "xla"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, return_attn: bool = False):
+        # LayerNorm statistics in f32 (dtype=f32 default upcasts internally);
+        # matmul-heavy paths run in self.dtype (bf16 mixed-precision mode)
         y, attn = Attention(
-            self.dim, self.num_heads, qkv_bias=self.qkv_bias, attn_impl=self.attn_impl
-        )(nn.LayerNorm(epsilon=LN_EPS)(x), return_attn=return_attn)
+            self.dim, self.num_heads, qkv_bias=self.qkv_bias,
+            attn_impl=self.attn_impl, dtype=self.dtype,
+        )(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x), return_attn=return_attn)
         x = x + y
-        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim)(nn.LayerNorm(epsilon=LN_EPS)(x))
+        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype)(
+            nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
+        )
         return x, attn
 
 
@@ -138,6 +148,7 @@ class ViTAutoencoder(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     attn_impl: str = "xla"
+    dtype: Any = jnp.float32  # compute dtype; params stay f32
 
     @property
     def num_patches(self) -> int:
@@ -161,6 +172,7 @@ class ViTAutoencoder(nn.Module):
             padding="VALID",
             kernel_init=conv_xavier_as_linear(),
             bias_init=torch_default_bias(self.in_chans * self.patch_size**2),
+            dtype=self.dtype,
         )
         self.cls_token = self.param(
             "cls_token", trunc_or_normal(0.02), (1, 1, self.embed_dim)
@@ -172,6 +184,7 @@ class ViTAutoencoder(nn.Module):
                 self.mlp_ratio,
                 qkv_bias=self.qkv_bias,
                 attn_impl=self.attn_impl,
+                dtype=self.dtype,
                 name=f"block_{i}",
             )
             for i in range(self.depth)
@@ -179,7 +192,8 @@ class ViTAutoencoder(nn.Module):
         self.encoder_norm = nn.LayerNorm(epsilon=LN_EPS)
 
         self.decoder_embed = nn.Dense(
-            self.decoder_embed_dim, kernel_init=xavier_uniform(), bias_init=nn.initializers.zeros
+            self.decoder_embed_dim, kernel_init=xavier_uniform(),
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
         )
         self.decoder_blocks = [
             Block(
@@ -188,6 +202,7 @@ class ViTAutoencoder(nn.Module):
                 self.mlp_ratio,
                 qkv_bias=self.qkv_bias,
                 attn_impl=self.attn_impl,
+                dtype=self.dtype,
                 name=f"dec_block_{i}",
             )
             for i in range(self.decoder_depth)
@@ -197,6 +212,7 @@ class ViTAutoencoder(nn.Module):
             self.patch_size**2 * self.in_chans,
             kernel_init=xavier_uniform(),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
         )
 
     # --- encoder ---
@@ -218,7 +234,7 @@ class ViTAutoencoder(nn.Module):
             if return_attns and attn is not None:
                 attns.append(attn)
         x = self.encoder_norm(x)
-        return x, attns
+        return x.astype(jnp.float32), attns
 
     def forward_features(self, x, return_attns: bool = False):
         """CLS-token features (reference ``models/vit.py:155-179``)."""
@@ -238,7 +254,7 @@ class ViTAutoencoder(nn.Module):
             if return_attn and attn is not None:
                 attns.append(attn)
         d = self.decoder_norm(d)
-        pred = self.decoder_pred(d)[:, 1:, :]
+        pred = self.decoder_pred(d)[:, 1:, :].astype(jnp.float32)
         return pred, attns
 
     # --- full autoencoder ---
@@ -260,7 +276,12 @@ class ViTAutoencoder(nn.Module):
 
 def build_vit_autoencoder(cfg, attn_impl: str = "xla") -> ViTAutoencoder:
     """Construct from a ``Config`` (mirrors reference ctor wiring at
-    ``models/vit_som.py:39-52``; decoder_num_heads = encoder heads there)."""
+    ``models/vit_som.py:39-52``; decoder_num_heads = encoder heads there).
+
+    ``train.compute_dtype: bfloat16`` switches block compute to bf16 mixed
+    precision (params, LN statistics, softmax, SOM, and losses stay f32).
+    """
+    dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
     return ViTAutoencoder(
         img_size=cfg.data.input_size,
         patch_size=cfg.vit.patch_size,
@@ -274,6 +295,7 @@ def build_vit_autoencoder(cfg, attn_impl: str = "xla") -> ViTAutoencoder:
         mlp_ratio=float(cfg.vit.mlp_ratio),
         qkv_bias=cfg.vit.qkv_bias,
         attn_impl=attn_impl,
+        dtype=dtype,
     )
 
 

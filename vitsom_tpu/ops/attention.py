@@ -22,10 +22,17 @@ def xla_attention(
     """q, k, v: [B, N, H, hd] -> out [B, N, H, hd] (+ optional [B, H, N, N])."""
     head_dim = q.shape[-1]
     scale = head_dim**-0.5
-    # [B, H, N, N]
-    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+    # [B, H, N, N]; scores + softmax in f32 regardless of q/k dtype (bf16
+    # mixed-precision mode keeps the reduction numerics stable)
+    scores = (
+        jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+        * scale
+    )
     attn = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+    out = jnp.einsum(
+        "bhnm,bmhd->bnhd", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
     return out, (attn if return_attn else None)
 
 
