@@ -211,6 +211,10 @@ class TrainConfig:
     resume: bool = False
     # observability: trace this epoch with jax.profiler (-1 = off)
     profile_epoch: int = -1
+    # log input/reconstruction/decoded-prototype image grids to TensorBoard
+    # every N epochs (0 = off; reference DESOM logs grids during training,
+    # ``models/desom.py:160-174``)
+    log_images_every_n_epochs: int = 0
 
 
 @dataclass(frozen=True)

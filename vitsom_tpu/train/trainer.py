@@ -262,6 +262,7 @@ class Trainer:
                     epoch_images / dt_e / n_chips
                 )
                 self.logger.log_scalars(scalars, step=step)
+                self._maybe_log_images(epoch, images, step)
                 best_val_acc = self._maybe_validate(epoch, best_val_acc)
             jax.block_until_ready(self.state.params)
         else:
@@ -426,15 +427,72 @@ class Trainer:
             return jax.profiler.trace(trace_dir)
         return contextlib.nullcontext()
 
+    def _maybe_log_images(self, epoch: int, images, step: int):
+        """DESOM input/reconstruction/decoded-prototype grids to TensorBoard
+        (reference ``models/desom.py:160-174``), every
+        ``train.log_images_every_n_epochs`` epochs."""
+        every = self.cfg.train.log_images_every_n_epochs
+        if every <= 0 or (epoch + 1) % every != 0:
+            return
+        if self.cfg.model_arch != "desom":
+            return
+        cfg = self.cfg
+        s, c = cfg.data.input_size, cfg.data.num_channels
+        n_show = min(16, images.shape[0])
+        x = images[:n_show].reshape(n_show, -1)
+        params = self.state.params
+
+        @jax.jit
+        def decode_batch(params, x):
+            _, z, _, _, decoded = self.model.apply(
+                {"params": params}, x, method="forward_with_recon"
+            )
+            protos = self.model.apply(
+                {"params": params}, params["prototypes"], method="decode"
+            )
+            return decoded, protos
+
+        decoded, protos = jax.device_get(decode_batch(params, x))
+
+        def grid(flat, rows, cols):
+            imgs = np.clip(flat.reshape(-1, s, s, c), 0.0, 1.0)[: rows * cols]
+            canvas = np.zeros((rows * s, cols * s, c), np.float32)
+            for i in range(min(len(imgs), rows * cols)):
+                r, cl = divmod(i, cols)
+                canvas[r * s : (r + 1) * s, cl * s : (cl + 1) * s] = imgs[i]
+            return canvas
+
+        self.logger.log_image("images/input", grid(np.asarray(x), 4, 4), step)
+        self.logger.log_image("images/reconstruction", grid(decoded, 4, 4), step)
+        rows, cols = cfg.som.map_size
+        self.logger.log_image(
+            "images/decoded_prototypes", grid(protos, rows, cols), step
+        )
+
     def _log_epoch(self, epoch: int, mean_metrics):
         host = jax.device_get({"m": mean_metrics, "step": self.state.step})
         scalars = {f"{k}": float(v) for k, v in host["m"].items()}
         self.logger.log_scalars(scalars, step=int(host["step"]))
 
     def _capture_memory(self):
+        """Device memory telemetry (reference prints
+        ``torch.cuda.max_memory_allocated``, ``models/vit_som.py:169``).
+        Prefers the runtime's peak counter; falls back to summed live device
+        arrays (a lower bound) on backends whose memory_stats() is None
+        (e.g. tunneled TPU)."""
         try:
             stats = jax.local_devices()[0].memory_stats()
             if stats and "peak_bytes_in_use" in stats:
                 self.peak_memory_gb = stats["peak_bytes_in_use"] / 1e9
+                return
+        except Exception:
+            pass
+        try:
+            live = sum(
+                a.size * a.dtype.itemsize
+                for a in jax.live_arrays()
+                if a.is_fully_addressable
+            )
+            self.peak_memory_gb = live / 1e9
         except Exception:
             pass
