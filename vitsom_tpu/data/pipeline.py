@@ -151,11 +151,13 @@ def _materialize(item) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 _WORKER_STATE: Dict[str, object] = {}
+_POOL_CACHE: Dict[int, ProcessPoolExecutor] = {}
 
 
-def _worker_init(x, y, data_cfg: DataConfig):
-    _WORKER_STATE["x"] = x
-    _WORKER_STATE["y"] = y
+def _worker_init(data_cfg: DataConfig):
+    # x/y are inherited copy-on-write through fork (stashed in the parent's
+    # _WORKER_STATE before the pool starts) — re-pickling the full dataset
+    # to every worker each epoch would dominate augmented-epoch time
     _WORKER_STATE["tf"] = aug_lib.make_train_transform(data_cfg)
 
 
@@ -167,6 +169,26 @@ def _worker_run(args):
     rng = np.random.default_rng(np.random.SeedSequence(seed_entropy))
     xs = np.stack([tf(_materialize(x[i]), rng) for i in idx])
     return {"image": xs, "label": y[idx].astype(np.int32)}
+
+
+def _get_pool(split: Split, data_cfg: DataConfig, workers: int) -> ProcessPoolExecutor:
+    """One persistent fork pool per split — created lazily, reused across
+    epochs (the reference's DataLoader re-forks 16 workers per loader)."""
+    key = id(split)
+    pool = _POOL_CACHE.get(key)
+    if pool is None:
+        _WORKER_STATE["x"] = split.x
+        _WORKER_STATE["y"] = split.y
+        import multiprocessing as mp
+
+        pool = ProcessPoolExecutor(
+            max_workers=workers,
+            mp_context=mp.get_context("fork"),
+            initializer=_worker_init,
+            initargs=(data_cfg,),
+        )
+        _POOL_CACHE[key] = pool
+    return pool
 
 
 def _augment_batches(
@@ -186,13 +208,9 @@ def _augment_batches(
         return
 
     args = [(idx, [seed, epoch, s]) for s, idx in enumerate(idx_batches)]
-    with ProcessPoolExecutor(
-        max_workers=workers,
-        initializer=_worker_init,
-        initargs=(split.x, split.y, data_cfg),
-    ) as pool:
-        # chunked map keeps ~2*workers batches in flight (prefetch)
-        yield from pool.map(_worker_run, args, chunksize=1)
+    pool = _get_pool(split, data_cfg, workers)
+    # map keeps batches in flight ahead of consumption (host-side prefetch)
+    yield from pool.map(_worker_run, args, chunksize=1)
 
 
 # ---------------------------------------------------------------------------
