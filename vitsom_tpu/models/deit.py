@@ -125,6 +125,11 @@ class DeiT(nn.Module):
         return self.mlp_head(cls_out), self.distill_head(self.distill_norm(distill_out))
 
     def __call__(self, x, deterministic: bool = True):
+        if self.is_initializing():
+            # materialize the distill token/norm/head params (the eval
+            # forward never touches them, but train_forward does)
+            logits, _ = self.train_forward(x, deterministic=True)
+            return logits
         x = self._embed(x, deterministic)
         x = self.transformer(x, deterministic=deterministic)
         return self.mlp_head(x[:, 0])

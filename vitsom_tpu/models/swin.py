@@ -55,14 +55,19 @@ def relative_position_index(w: int) -> np.ndarray:
 
 def shift_attn_mask(h: int, w_dim: int, window: int, shift: int) -> np.ndarray:
     """[nW, w*w, w*w] additive mask (-100 for cross-region pairs) for
-    shifted-window attention."""
+    shifted-window attention.
+
+    Pure numpy: this is a compile-time constant and may be built inside a
+    traced __call__ — routing it through jnp turns it into a tracer and
+    breaks under jit."""
     img_mask = np.zeros((1, h, w_dim, 1), np.float32)
     cnt = 0
     for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
         for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
             img_mask[:, hs, ws, :] = cnt
             cnt += 1
-    mw = np.asarray(window_partition(jnp.asarray(img_mask), window)).reshape(-1, window * window)
+    x = img_mask.reshape(1, h // window, window, w_dim // window, window, 1)
+    mw = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window * window)
     mask = mw[:, None, :] - mw[:, :, None]
     return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
 
