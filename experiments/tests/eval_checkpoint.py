@@ -36,6 +36,8 @@ def main(argv=None):
     parser.add_argument("--figures-dir", type=str, default=None,
                         help="write qualitative figures here (clustering only)")
     parser.add_argument("--no-kmeans", action="store_true")
+    parser.add_argument("--override", action="append", default=[],
+                        help="dotted config override key=value (yaml-parsed)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -52,8 +54,13 @@ def main(argv=None):
     from vitsom_tpu.eval import metrics as metrics_lib
     from vitsom_tpu.train.trainer import Trainer
 
-    overrides = {"data.allow_synthetic": True} if args.synthetic else None
-    cfg = load_config(args.config, overrides=overrides)
+    import yaml
+
+    overrides = {"data.allow_synthetic": True} if args.synthetic else {}
+    for ov in args.override:
+        k, _, v = ov.partition("=")
+        overrides[k] = yaml.safe_load(v)
+    cfg = load_config(args.config, overrides=overrides or None)
     dm = build_datamodule(cfg)
     trainer = Trainer(cfg, dm=dm, run_id=args.run_id)
     trainer.restore_checkpoint(tag=args.tag)

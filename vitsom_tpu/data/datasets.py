@@ -335,7 +335,12 @@ def make_synthetic(cfg: DataConfig, num_classes_hint: int = 10) -> ArraySplits:
     k = max(cfg.num_classes, num_classes_hint)
     n_train = cfg.synthetic_size
     n_test = max(cfg.synthetic_size // 5, 64)
-    rng = np.random.default_rng(abs(hash(cfg.dataset)) % (2**31))
+    # zlib.crc32 is stable across processes (Python's str hash is randomized
+    # per process, which silently made "deterministic" data differ between a
+    # training run and a later checkpoint evaluation)
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(cfg.dataset.encode()))
     h = w = cfg.input_size
     c = cfg.num_channels
 
