@@ -105,10 +105,18 @@ def evaluate_classification(
     start = time.time()
     preds, trues = [], []
     t = temperature if temperature is not None else jnp.asarray(1.0)
+    # keep the ragged tail batch: splits smaller than one batch (small val
+    # sets) must still evaluate — one extra jit specialization, once
+    if len(split) < dm.cfg.batch_size:
+        drop_last = False
     for batch in dm.eval_batches(split, drop_last=drop_last):
         o = eval_step(params, jax.device_put(batch), t)
         preds.append(np.asarray(o["logits"]).argmax(axis=-1))
         trues.append(batch["label"])
+    if not preds:
+        raise ValueError(
+            f"evaluation split of {len(split)} samples produced no batches"
+        )
     y_pred, y_true = np.concatenate(preds), np.concatenate(trues)
     m = metrics.classification_metrics(y_true, y_pred)
     dt = time.time() - start
