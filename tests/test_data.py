@@ -152,3 +152,27 @@ def test_missing_dataset_raises_without_synthetic():
     cfg = Config(data=DataConfig(dataset="cifar-10", data_dir="/nonexistent"))
     with pytest.raises(FileNotFoundError):
         load_raw(cfg.data)
+
+
+def test_worker_pool_reused_across_epochs():
+    """The fork pool must be created once per split and reused (re-forking +
+    re-pickling the dataset per epoch dominated augmented-epoch time)."""
+    from vitsom_tpu.data import pipeline as pl_mod
+
+    import dataclasses
+
+    base = cls_cfg(n=192)
+    cfg = dataclasses.replace(
+        base, data=dataclasses.replace(base.data, num_workers=2)
+    )
+    dm = pl_mod.build_datamodule(cfg)
+    pl_mod._POOL_CACHE.clear()
+    b1 = list(dm.train_batches(epoch=0, seed=3))
+    assert len(pl_mod._POOL_CACHE) == 1
+    pool = next(iter(pl_mod._POOL_CACHE.values()))
+    b2 = list(dm.train_batches(epoch=1, seed=3))
+    assert next(iter(pl_mod._POOL_CACHE.values())) is pool
+    assert b1[0]["image"].shape == b2[0]["image"].shape
+    # same (epoch, seed) replays identically through the pool
+    b1r = list(dm.train_batches(epoch=0, seed=3))
+    np.testing.assert_allclose(b1[0]["image"], b1r[0]["image"])

@@ -199,7 +199,9 @@ def _augment_batches(
     epoch: int,
     seed: int,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    workers = min(data_cfg.num_workers, os.cpu_count() or 1)
+    # torch DataLoader semantics: num_workers is taken as-requested, not
+    # capped by core count (oversubscription just time-slices)
+    workers = data_cfg.num_workers
     if workers <= 1:
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch, 7]))
         for idx in idx_batches:
