@@ -16,7 +16,7 @@ from vitsom_tpu.models.ae import build_autoencoder
 from vitsom_tpu.models.desom import DESOM
 from vitsom_tpu.models.vit import ViTAutoencoder, patchify, unpatchify
 from vitsom_tpu.models.vit_som import ViTClassifier, ViTSOM
-from vitsom_tpu.ops.pos_embed import get_2d_sincos_pos_embed
+from vitsom_tpu.ops.pos_embed import get_2d_sincos_pos_embed, interpolate_pos_embed
 
 
 def small_cluster_cfg(**kw):
@@ -178,3 +178,12 @@ def test_attention_return_attn():
     assert attns[0].shape == (2, 2, 17, 17)
     rows = np.asarray(attns[0]).sum(-1)
     np.testing.assert_allclose(rows, 1.0, rtol=1e-5)
+
+
+def test_interpolate_pos_embed():
+    p = get_2d_sincos_pos_embed(16, 7, cls_token=True)
+    q = interpolate_pos_embed(p, 14)
+    assert q.shape == (1 + 14 * 14, 16)
+    np.testing.assert_allclose(q[0], p[0])  # CLS row passes through
+    same = interpolate_pos_embed(p, 7)
+    np.testing.assert_allclose(same, p)

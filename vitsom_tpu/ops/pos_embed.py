@@ -39,3 +39,26 @@ def get_2d_sincos_pos_embed(
     if cls_token:
         pos = np.concatenate([np.zeros([1, embed_dim]), pos], axis=0)
     return pos.astype(np.float32)
+
+
+def interpolate_pos_embed(
+    pos_embed: np.ndarray, new_grid_size: int, cls_token: bool = True
+) -> np.ndarray:
+    """Bicubic-resize a [(1+)G*G, D] positional table to a new grid size
+    (reference ``tools/utils.py:186-207`` — checkpoint transfer between
+    image resolutions; unused by shipped flows but part of the API)."""
+    import jax
+
+    n_extra = 1 if cls_token else 0
+    extra = pos_embed[:n_extra]
+    patch_pos = pos_embed[n_extra:]
+    dim = patch_pos.shape[1]
+    old = int(round(patch_pos.shape[0] ** 0.5))
+    if old == new_grid_size:
+        return pos_embed.astype(np.float32)
+    grid = patch_pos.reshape(old, old, dim)
+    resized = jax.image.resize(
+        grid, (new_grid_size, new_grid_size, dim), method="bicubic"
+    )
+    resized = np.asarray(resized).reshape(new_grid_size * new_grid_size, dim)
+    return np.concatenate([extra, resized], axis=0).astype(np.float32)
