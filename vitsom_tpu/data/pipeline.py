@@ -199,9 +199,10 @@ def _augment_batches(
     epoch: int,
     seed: int,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    # torch DataLoader semantics: num_workers is taken as-requested, not
-    # capped by core count (oversubscription just time-slices)
-    workers = data_cfg.num_workers
+    # honor requested num_workers up to 2x cores: mild oversubscription
+    # helps prefetch (torch DataLoader style), but a 16-way fork storm on a
+    # 1-CPU VM with JAX's thread pools is a deadlock hazard
+    workers = min(data_cfg.num_workers, 2 * (os.cpu_count() or 1))
     if workers <= 1:
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch, 7]))
         for idx in idx_batches:
