@@ -130,6 +130,13 @@ def base_learning_rate(cfg: Config) -> float:
 def make_optimizer(
     cfg: Config, params, lr_schedule: Callable[[jnp.ndarray], jnp.ndarray]
 ) -> optax.GradientTransformation:
+    """Adam/AdamW with torch-matching group semantics.
+
+    Per-leaf tree transforms, NOT ``optax.flatten``: flattening was measured
+    at 3.78 vs 2.84 ms/step on v5e — the per-step ravel/unravel copies cost
+    more than fusing ~100 tiny elementwise kernels saves (XLA already fuses
+    the per-leaf chains adequately inside the epoch scan).
+    """
     opt = cfg.optimizer
     chain = [
         optax.scale_by_adam(b1=opt.beta_1, b2=opt.beta_2, eps=opt.eps, eps_root=0.0)
