@@ -6,6 +6,9 @@
 #             make train model=vit_som dataset=mnist
 FROM python:3.12-slim
 
+RUN apt-get update && apt-get install -y --no-install-recommends make \
+    && rm -rf /var/lib/apt/lists/*
+
 WORKDIR /workspace
 
 RUN pip install --no-cache-dir \

@@ -45,7 +45,7 @@ def main():
 
     assert dm.is_static, "mnist clustering path must be device-resident"
     images, labels = dm.device_arrays(dm.train, train_mode=True)
-    epoch_fn = trainer._build_epoch_fn(images.shape[0])
+    epoch_fn = trainer._build_epoch_fn()
     key = jax.random.key(0)
     state = trainer.state
 

@@ -78,7 +78,7 @@ def main(argv=None):
     temperature = trainer.current_temperature()
     images, labels = dm.device_arrays(dm.train, train_mode=True)
     bs = cfg.batch_size
-    n_keep = (len(dm.train) // bs) * bs
+    n_keep = ((len(dm.train) // bs) * bs) or len(dm.train)
     out = eval_lib._batched_device_eval(
         jax.jit(trainer._eval_step), trainer.state.params,
         images[:n_keep], labels[:n_keep], bs, temperature, keys=("bmu",),

@@ -70,3 +70,45 @@ def test_checkpoint_restore_and_continue(tmp_path):
     # continue training from the restored state
     t2.fit(progress=False)
     assert int(t2.state.step) == 2 * step_after_fit
+
+
+def test_desom_batchnorm_end_to_end(tmp_path):
+    """DESOM with ae.batch_norm=true: BN stats must thread through the train
+    step, the bound eval step, and checkpoints (regression: eval_fn used to
+    pass batch_stats to a 3-arg desom eval step and crash)."""
+    from vitsom_tpu.config import load_config
+    from vitsom_tpu.data.pipeline import build_datamodule
+    from vitsom_tpu.train.trainer import Trainer
+
+    cfg = load_config(
+        "configs/desom/desom_mnist.yaml",
+        overrides={
+            "total_epochs": 1,
+            "batch_size": 16,
+            "ae.batch_norm": True,
+            "ae.encoder_dims": [32, 8],
+            "som.map_size": [4, 4],
+            "data.allow_synthetic": True,
+            "data.synthetic_size": 64,
+            "train.n_runs": 1,
+            "train.checkpoint_dir": str(tmp_path / "states"),
+            "train.log_dir": str(tmp_path / "logs"),
+        },
+    )
+    dm = build_datamodule(cfg)
+    t = Trainer(cfg, dm=dm, run_id=0)
+    assert t.state.batch_stats is not None
+    t.fit(progress=False)
+    metrics = t.evaluate()
+    assert 0.0 <= metrics["purity"] <= 1.0
+    t.save_checkpoint(tag="last")
+    t2 = Trainer(cfg, dm=dm, run_id=0)
+    t2.restore_checkpoint(tag="last")
+    import jax
+    import numpy as np
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t.state.batch_stats),
+        jax.tree_util.tree_leaves(t2.state.batch_stats),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -166,13 +166,15 @@ def test_worker_pool_reused_across_epochs():
         base, data=dataclasses.replace(base.data, num_workers=2)
     )
     dm = pl_mod.build_datamodule(cfg)
-    pl_mod._POOL_CACHE.clear()
+    assert dm.train.pool is None
     b1 = list(dm.train_batches(epoch=0, seed=3))
-    assert len(pl_mod._POOL_CACHE) == 1
-    pool = next(iter(pl_mod._POOL_CACHE.values()))
+    pool = dm.train.pool
+    assert pool is not None
     b2 = list(dm.train_batches(epoch=1, seed=3))
-    assert next(iter(pl_mod._POOL_CACHE.values())) is pool
+    assert dm.train.pool is pool
     assert b1[0]["image"].shape == b2[0]["image"].shape
     # same (epoch, seed) replays identically through the pool
     b1r = list(dm.train_batches(epoch=0, seed=3))
     np.testing.assert_allclose(b1[0]["image"], b1r[0]["image"])
+    pl_mod.close_pools(dm)
+    assert dm.train.pool is None

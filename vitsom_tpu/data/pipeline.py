@@ -48,6 +48,9 @@ class Split:
     x: np.ndarray  # [N, H, W, C] uint8/float32, or object array of paths/images
     y: np.ndarray  # [N] int64
     train_mode: bool  # which transform applies
+    # persistent augmentation worker pool, created lazily by _get_pool and
+    # owned by this split (lifetime-tied; never keyed by id())
+    pool: Optional[ProcessPoolExecutor] = field(default=None, repr=False, compare=False)
 
     def __len__(self) -> int:
         return len(self.y)
@@ -151,13 +154,15 @@ def _materialize(item) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 _WORKER_STATE: Dict[str, object] = {}
-_POOL_CACHE: Dict[int, ProcessPoolExecutor] = {}
 
 
-def _worker_init(data_cfg: DataConfig):
-    # x/y are inherited copy-on-write through fork (stashed in the parent's
-    # _WORKER_STATE before the pool starts) — re-pickling the full dataset
-    # to every worker each epoch would dominate augmented-epoch time
+def _worker_init(x, y, data_cfg: DataConfig):
+    # dataset arrays arrive ONCE per pool lifetime via initargs (the pool is
+    # persistent across epochs — the reference's DataLoader re-forks and
+    # re-ships 16 workers per epoch); no parent-global state, so concurrent
+    # pools for different datasets can never cross-contaminate
+    _WORKER_STATE["x"] = x
+    _WORKER_STATE["y"] = y
     _WORKER_STATE["tf"] = aug_lib.make_train_transform(data_cfg)
 
 
@@ -172,23 +177,19 @@ def _worker_run(args):
 
 
 def _get_pool(split: Split, data_cfg: DataConfig, workers: int) -> ProcessPoolExecutor:
-    """One persistent fork pool per split — created lazily, reused across
-    epochs (the reference's DataLoader re-forks 16 workers per loader)."""
-    key = id(split)
-    pool = _POOL_CACHE.get(key)
-    if pool is None:
-        _WORKER_STATE["x"] = split.x
-        _WORKER_STATE["y"] = split.y
+    """Lazily create the split-owned persistent worker pool."""
+    if split.pool is None:
+        import atexit
         import multiprocessing as mp
 
-        pool = ProcessPoolExecutor(
+        split.pool = ProcessPoolExecutor(
             max_workers=workers,
             mp_context=mp.get_context("fork"),
             initializer=_worker_init,
-            initargs=(data_cfg,),
+            initargs=(split.x, split.y, data_cfg),
         )
-        _POOL_CACHE[key] = pool
-    return pool
+        atexit.register(split.pool.shutdown, wait=False, cancel_futures=True)
+    return split.pool
 
 
 def _augment_batches(
@@ -214,6 +215,15 @@ def _augment_batches(
     pool = _get_pool(split, data_cfg, workers)
     # map keeps batches in flight ahead of consumption (host-side prefetch)
     yield from pool.map(_worker_run, args, chunksize=1)
+
+
+def close_pools(dm: "DataModule") -> None:
+    """Shut down any augmentation worker pools owned by the datamodule's
+    splits (pools also auto-shutdown at interpreter exit)."""
+    for split in (dm.train, dm.val, dm.test):
+        if split is not None and split.pool is not None:
+            split.pool.shutdown(wait=False, cancel_futures=True)
+            split.pool = None
 
 
 # ---------------------------------------------------------------------------

@@ -70,6 +70,8 @@ def evaluate_clustering(
     bs = dm.cfg.batch_size
     split = dm.train
     n_keep = (len(split) // bs) * bs if drop_last else len(split)
+    if n_keep == 0:  # split smaller than one batch: evaluate all (padded)
+        n_keep = len(split)
 
     if dm.is_static:
         images, labels = dm.device_arrays(split, train_mode=True)
@@ -146,7 +148,7 @@ def evaluate_kmeans(
     if dm.is_static:
         images, labels = dm.device_arrays(split, train_mode=True)
         bs = dm.cfg.batch_size
-        n_keep = (len(split) // bs) * bs
+        n_keep = ((len(split) // bs) * bs) or len(split)
         res = _batched_device_eval(
             latent_fn, params, images[:n_keep], labels[:n_keep], bs, t, keys=("latent",)
         )

@@ -167,6 +167,8 @@ def visualize_latent_projection(
     latents = np.asarray(latents, np.float32).reshape(len(latents), -1)
     labels = np.asarray(labels).reshape(-1)
 
+    if method not in ("auto", "umap", "pca"):
+        raise ValueError(f"unknown projection method {method!r}")
     used = method
     if method in ("auto", "umap"):
         try:

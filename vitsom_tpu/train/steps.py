@@ -162,7 +162,7 @@ def make_vit_som_eval_step(cfg: Config, model):
     """Returns (bmu, logits-or-None, som_loss pieces) for val/test batches."""
     grid_d2 = jnp.asarray(som.grid_sq_distances(cfg.som.map_size, cfg.som.topology))
 
-    def eval_step(params, batch, temperature):
+    def eval_step(params, batch, temperature, batch_stats=None):
         x = batch["image"]
         cls_tok, recon, logits, distances, bmu_idx = model.apply({"params": params}, x)
         weights = som.neighborhood_weights(bmu_idx, grid_d2, temperature)
@@ -256,10 +256,15 @@ def make_desom_train_step(
 
 
 def make_desom_eval_step(cfg: Config, model):
-    def eval_step(params, batch, temperature):
+    has_bn = cfg.ae.batch_norm
+
+    def eval_step(params, batch, temperature, batch_stats=None):
         x = batch["image"]
         x_flat = x.reshape(x.shape[0], -1)
-        logits, z, distances, bmu_idx = model.apply({"params": params}, x_flat)
+        variables = {"params": params}
+        if has_bn and batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        logits, z, distances, bmu_idx = model.apply(variables, x_flat)
         return {
             "bmu": bmu_idx,
             "logits": logits if cfg.classification else jnp.zeros((x.shape[0], 1)),

@@ -82,8 +82,13 @@ def example_input(cfg: Config, batch: Optional[int] = None) -> jnp.ndarray:
     return jnp.zeros((b, s, s, c), jnp.float32)
 
 
-def make_steps(cfg: Config, model, dataset_len: int, steps_per_epoch: int):
-    """Build (train_step, eval_step, statics, lr_schedule, tx) for a model."""
+def make_steps(cfg: Config, model, dataset_len: int, steps_per_epoch: int,
+               run_id: int = 0):
+    """Build (train_step, eval_step, statics, lr_schedule, tx) for a model.
+
+    ``run_id`` folds into the init key so the benchmark's N runs start from
+    distinct initializations (the reference seeds once and lets RNG flow
+    across runs, ``train_vit_som.py:36`` — same effective behavior)."""
     statics = steps_lib.StepStatics(
         steps_per_epoch=steps_per_epoch,
         total_epochs=cfg.total_epochs,
@@ -101,7 +106,8 @@ def make_steps(cfg: Config, model, dataset_len: int, steps_per_epoch: int):
         )
 
     x = example_input(cfg, batch=2)
-    variables = model.init(jax.random.key(cfg.train.seed), x)
+    init_key = jax.random.fold_in(jax.random.key(cfg.train.seed), run_id)
+    variables = model.init(init_key, x)
     params = variables["params"]
     batch_stats = variables.get("batch_stats")  # BatchNorm models (mobile_vit)
     tx = optim.make_optimizer(cfg, params, lr_sched)
@@ -160,7 +166,9 @@ class Trainer:
             self.tx,
             init_params,
             init_batch_stats,
-        ) = make_steps(cfg, self.model, self.dm.n_train, self.dm.steps_per_epoch)
+        ) = make_steps(
+            cfg, self.model, self.dm.n_train, self.dm.steps_per_epoch, run_id=run_id
+        )
 
         params = mesh_lib.put_replicated(init_params, self.mesh)
         batch_stats = (
@@ -180,6 +188,7 @@ class Trainer:
         self._jit_step = jax.jit(self._wrap_sharded(self._train_step), donate_argnums=donate)
         self._jit_eval = jax.jit(self._eval_step)
         self._jit_epoch = None  # built lazily in scan mode
+        self._jit_decode_images = None  # built lazily by _maybe_log_images
 
         self.logger = MetricLogger(
             os.path.join(cfg.train.log_dir, cfg.model_arch, cfg.data.dataset, f"run_{run_id}")
@@ -200,7 +209,7 @@ class Trainer:
 
     # -- scan mode ---------------------------------------------------------
 
-    def _build_epoch_fn(self, n_keep: int):
+    def _build_epoch_fn(self):
         steps = self.dm.steps_per_epoch
         bs = self.cfg.batch_size
         train_step = self._train_step
@@ -241,7 +250,7 @@ class Trainer:
 
         if self.dm.is_static:
             images, labels = self.dm.device_arrays(self.dm.train, train_mode=True)
-            epoch_fn = self._build_epoch_fn(images.shape[0])
+            epoch_fn = self._build_epoch_fn()
             key = jax.random.key(cfg.train.seed + 1000 * self.run_id)
             epoch_images = self.dm.steps_per_epoch * cfg.batch_size
             n_chips = max(1, self.mesh.devices.size)
@@ -442,17 +451,21 @@ class Trainer:
         x = images[:n_show].reshape(n_show, -1)
         params = self.state.params
 
-        @jax.jit
-        def decode_batch(params, x):
-            _, z, _, _, decoded = self.model.apply(
-                {"params": params}, x, method="forward_with_recon"
-            )
-            protos = self.model.apply(
-                {"params": params}, params["prototypes"], method="decode"
-            )
-            return decoded, protos
+        if self._jit_decode_images is None:
+            # build once — a fresh jit wrapper per call would recompile on
+            # every logging epoch (30-190s each on tunneled backends)
+            def decode_batch(params, x):
+                _, z, _, _, decoded = self.model.apply(
+                    {"params": params}, x, method="forward_with_recon"
+                )
+                protos = self.model.apply(
+                    {"params": params}, params["prototypes"], method="decode"
+                )
+                return decoded, protos
 
-        decoded, protos = jax.device_get(decode_batch(params, x))
+            self._jit_decode_images = jax.jit(decode_batch)
+
+        decoded, protos = jax.device_get(self._jit_decode_images(params, x))
 
         def grid(flat, rows, cols):
             imgs = np.clip(flat.reshape(-1, s, s, c), 0.0, 1.0)[: rows * cols]
