@@ -108,3 +108,43 @@ def test_vit_som_cls_trainer(tmp_path):
     metrics = trainer.evaluate()
     assert "accuracy" in metrics
     assert result["best_val_accuracy"] >= 0
+
+
+def test_dp_8_devices_matches_single_device(tmp_path):
+    """Data-parallel training over the 8-device mesh must reproduce the
+    1-device run: same global batch, params replicated, XLA inserts the
+    gradient reduction — losses and final params agree to float tolerance."""
+
+    import jax
+
+    from vitsom_tpu.config import load_config
+    from vitsom_tpu.data.pipeline import build_datamodule
+    from vitsom_tpu.train.trainer import Trainer
+
+    overrides = {
+        "total_epochs": 2,
+        "batch_size": 16,
+        "ae.encoder_dims": [32, 8],
+        "som.map_size": [4, 4],
+        "data.allow_synthetic": True,
+        "data.synthetic_size": 64,
+        "train.n_runs": 1,
+        "train.checkpoint_dir": str(tmp_path / "s"),
+        "train.log_dir": str(tmp_path / "l"),
+    }
+    results = {}
+    for n_dev in (1, 8):
+        cfg = load_config(
+            "configs/desom/desom_mnist.yaml",
+            overrides={**overrides, "train.mesh_shape": [n_dev]},
+        )
+        dm = build_datamodule(cfg)
+        t = Trainer(cfg, dm=dm, run_id=0)
+        assert t.mesh.devices.size == n_dev
+        t.fit(progress=False)
+        results[n_dev] = jax.device_get(t.state.params)
+
+    flat1 = jax.tree_util.tree_leaves(results[1])
+    flat8 = jax.tree_util.tree_leaves(results[8])
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
