@@ -148,3 +148,51 @@ def test_dp_8_devices_matches_single_device(tmp_path):
     flat8 = jax.tree_util.tree_leaves(results[8])
     for a, b in zip(flat1, flat8):
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
+
+
+def test_vit_som_cls_overfits_fixed_batch():
+    """The classification loss path must overfit a fixed separable batch
+    (guards the CE+gamma*som loss, optimizer and schedule wiring — chance
+    accuracy in short smoke runs is an LR-warmup artifact, not a bug)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vitsom_tpu.config import load_config
+    from vitsom_tpu.train import optim, schedules
+    from vitsom_tpu.train import steps as steps_lib
+    from vitsom_tpu.models.vit_som import ViTSOM
+
+    cfg = load_config("configs/vit_som/vit_som_cifar-10.yaml", overrides={
+        "total_epochs": 100, "batch_size": 32,
+        "vit.emb_dim": 32, "vit.depth": 2, "vit.heads": 2,
+        "vit.dec_emb_dim": 16, "vit.dec_depth": 1,
+        "som.map_size": [4, 4],
+        "optimizer.scheduler": "constant", "optimizer.warmup_epochs": 0,
+    })
+    model = ViTSOM(cfg)
+    rng = np.random.default_rng(0)
+    y = np.arange(32) % 10
+    templates = rng.uniform(0, 1, size=(10, 32, 32, 3)).astype(np.float32)
+    x = jnp.asarray(
+        templates[y] * 0.6 + rng.uniform(0, 1, size=(32, 32, 32, 3)).astype(np.float32) * 0.4
+    )
+    yj = jnp.asarray(y, jnp.int32)
+    params = model.init(jax.random.key(0), x)["params"]
+    st = steps_lib.StepStatics(10, 100, 320, 32)
+    sched = schedules.make_lr_schedule(cfg.optimizer, 100, 10, optim.base_learning_rate(cfg))
+    tx = optim.make_optimizer(cfg, params, sched)
+    state = steps_lib.TrainState(
+        step=jnp.asarray(0, jnp.int32), params=params, opt_state=tx.init(params)
+    )
+    step = jax.jit(steps_lib.make_vit_som_train_step(cfg, model, tx, st, sched))
+    batch = {"image": x, "label": yj}
+    first_loss = None
+    for i in range(121):
+        state, m = step(state, batch)
+        if first_loss is None:
+            first_loss = float(m["train/cls_loss"])
+    final_loss = float(m["train/cls_loss"])
+    logits = model.apply({"params": state.params}, x)[2]
+    acc = float((jnp.argmax(logits, -1) == yj).mean())
+    assert final_loss < first_loss - 0.15, (first_loss, final_loss)
+    assert acc > 0.4, acc
