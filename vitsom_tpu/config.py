@@ -209,6 +209,9 @@ class TrainConfig:
     # host loop
     checkpoint_every_n_epochs: int = 0  # 0 = only at end
     resume: bool = False
+    # stream mode: train steps executed per device dispatch (amortizes the
+    # per-dispatch round-trip on tunneled backends; 1 = step-per-dispatch)
+    steps_per_dispatch: int = 8
     # observability: trace this epoch with jax.profiler (-1 = off)
     profile_epoch: int = -1
     # log input/reconstruction/decoded-prototype image grids to TensorBoard

@@ -241,6 +241,22 @@ class Trainer:
 
         return jax.jit(epoch_fn, donate_argnums=(0,))
 
+    def _build_chunk_fn(self, k: int):
+        """Jitted K-step scan over a stacked [K, bs, ...] batch chunk
+        (stream mode). Amortizes the per-dispatch round-trip K-fold."""
+        train_step = self._train_step
+        mesh = self.mesh
+
+        def chunk_fn(state, batches):
+            batches = mesh_lib.shard_stacked_batches(batches, mesh)
+
+            def body(state, batch):
+                return train_step(state, batch)
+
+            return jax.lax.scan(body, state, batches)
+
+        return jax.jit(chunk_fn, donate_argnums=(0,) if self.cfg.train.donate_state else ())
+
     # -- public API ----------------------------------------------------------
 
     def fit(self, progress: bool = True) -> Dict[str, Any]:
@@ -275,28 +291,61 @@ class Trainer:
                 best_val_acc = self._maybe_validate(epoch, best_val_acc)
             jax.block_until_ready(self.state.params)
         else:
+            # stream mode: K augmented host batches per device dispatch — a
+            # per-step dispatch costs a tunnel RTT (~90ms), which would cap
+            # throughput at ~11 steps/s regardless of compute
+            k = max(1, cfg.train.steps_per_dispatch)
+            chunk_fn = self._build_chunk_fn(k)
             step_in_epoch_log = cfg.train.log_every_n_steps
             for epoch in range(cfg.total_epochs):
                 it = device_prefetch(
                     self.dm.train_batches(epoch, seed=cfg.train.seed + 1000 * self.run_id)
                 )
                 accum = []
-                for i, batch in enumerate(it):
-                    self.state, m = self._jit_step(self.state, batch)
-                    # keep metrics ON DEVICE; every host pull costs a tunnel
-                    # RTT (~65ms) — transfer once per logging interval/epoch
-                    accum.append(m)
-                    if (i + 1) % step_in_epoch_log == 0:
-                        host = jax.device_get({"m": m, "step": self.state.step})
+                steps_since_log = 0
+                pending: list = []
+
+                def flush(pending):
+                    nonlocal steps_since_log
+                    if not pending:
+                        return
+                    if len(pending) == k:
+                        stacked = jax.tree_util.tree_map(
+                            lambda *xs: np.stack(xs), *pending
+                        )
+                        self.state, ms = chunk_fn(self.state, stacked)
+                        accum.append(ms)  # [k]-leaved metric stacks
+                    else:  # ragged tail: per-step path
+                        for b in pending:
+                            self.state, m = self._jit_step(self.state, b)
+                            accum.append(
+                                jax.tree_util.tree_map(lambda x: x[None], m)
+                            )
+                    steps_since_log += len(pending)
+                    if steps_since_log >= step_in_epoch_log:
+                        steps_since_log = 0
+                        host = jax.device_get(
+                            {"m": accum[-1], "step": self.state.step}
+                        )
                         self.logger.log_scalars(
-                            {k: float(v) for k, v in host["m"].items()},
+                            {k_: float(v[-1]) for k_, v in host["m"].items()},
                             step=int(host["step"]),
                         )
+
+                for batch in it:
+                    pending.append(batch)
+                    if len(pending) == k:
+                        flush(pending)
+                        pending = []
+                flush(pending)
+
                 if accum:
                     stacked = jax.device_get(
-                        jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *accum)
+                        jax.tree_util.tree_map(
+                            lambda *xs: jnp.concatenate(xs), *accum
+                        )
                     )
-                    mean_m = {k: float(np.mean(v)) for k, v in stacked.items()}
+                    mean_m = {k_: float(np.mean(v)) for k_, v in stacked.items()}
                     self._log_epoch(epoch, mean_m)
                 best_val_acc = self._maybe_validate(epoch, best_val_acc)
             jax.block_until_ready(self.state.params)
