@@ -196,3 +196,30 @@ def test_vit_som_cls_overfits_fixed_batch():
     acc = float((jnp.argmax(logits, -1) == yj).mean())
     assert final_loss < first_loss - 0.15, (first_loss, final_loss)
     assert acc > 0.4, acc
+
+
+def test_stream_chunking_step_count(tmp_path):
+    """steps_per_dispatch chunking must execute exactly steps_per_epoch
+    steps per epoch (full chunks + ragged tail)."""
+    from vitsom_tpu.config import load_config
+    from vitsom_tpu.data.pipeline import build_datamodule
+    from vitsom_tpu.train.trainer import Trainer
+
+    cfg = load_config("configs/vit/vit_cifar-10.yaml", overrides={
+        "total_epochs": 2,
+        "batch_size": 8,
+        "vit.emb_dim": 16, "vit.depth": 1, "vit.heads": 2,
+        "vit.dec_emb_dim": 8, "vit.dec_depth": 1,
+        "data.allow_synthetic": True,
+        "data.synthetic_size": 70,  # train 56 -> 7 steps: 3 chunks of 2 + tail 1
+        "data.num_workers": 0,
+        "train.n_runs": 1,
+        "train.steps_per_dispatch": 2,
+        "train.checkpoint_dir": str(tmp_path / "s"),
+        "train.log_dir": str(tmp_path / "l"),
+    })
+    dm = build_datamodule(cfg)
+    assert not dm.is_static
+    t = Trainer(cfg, dm=dm, run_id=0)
+    t.fit(progress=False)
+    assert int(t.state.step) == 2 * dm.steps_per_epoch
