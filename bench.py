@@ -38,6 +38,10 @@ def main():
             "data.synthetic_size": 70000,  # == len(MNIST train+test concat)
             "train.n_runs": 1,
             "train.use_pallas_som": True,  # fused SOM kernel (tests prove parity)
+            # bf16 block compute: clustering-quality parity with f32 validated
+            # (purity match on the synthetic protocol, commit 2ec5f3b); params
+            # and softmax stay f32.
+            "train.compute_dtype": "bfloat16",
         },
     )
     dm = build_datamodule(cfg)

@@ -115,6 +115,12 @@ def main(argv=None):
         all_metrics["inference_time"].append(metrics["inference_time"])
         all_metrics["images_per_sec_per_chip"].append(fit_result["images_per_sec_per_chip"])
         all_metrics["peak_memory_gb"].append(fit_result["peak_memory_gb"])
+        if fit_result.get("memory_metric") != "peak_bytes_in_use":
+            print(
+                "NOTE: memory figure is summed live arrays (a LOWER BOUND), "
+                "not a true peak counter — this backend exposes no "
+                "memory_stats(); do not compare against CUDA max_memory_allocated"
+            )
 
     agg = aggregate_runs(all_metrics)
     if n_runs > 1:

@@ -80,8 +80,9 @@ def main(argv=None):
     bs = cfg.batch_size
     n_keep = ((len(dm.train) // bs) * bs) or len(dm.train)
     out = eval_lib._batched_device_eval(
-        jax.jit(trainer._eval_step), trainer.state.params,
+        trainer.eval_fn(), trainer.state.params,
         images[:n_keep], labels[:n_keep], bs, temperature, keys=("bmu",),
+        batch_stats=trainer.state.batch_stats,
     )
     bmu = out["bmu"]
     y = np.asarray(labels[:n_keep])
@@ -116,7 +117,8 @@ def main(argv=None):
 
         eval_step = steps_lib.make_desom_eval_step(cfg, model)
         kp, kn, _ = eval_lib.evaluate_kmeans(
-            jax.jit(eval_step), trainer.state.params, dm, temperature=temperature
+            jax.jit(eval_step), trainer.state.params, dm, temperature=temperature,
+            batch_stats=trainer.state.batch_stats,
         )
         results.update({"kmeans_purity": kp, "kmeans_nmi": kn})
 

@@ -72,6 +72,44 @@ def tf_random_resized_crop(
     return img.resize((out_size, out_size), Image.BICUBIC, box=(j, i, j + w, i + h))
 
 
+def torch_random_resized_crop(
+    img: Image.Image,
+    rng: np.random.Generator,
+    out_size: int,
+    scale: Tuple[float, float] = (0.08, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+) -> Image.Image:
+    """torchvision-semantics RRC (10-attempt rejection sampling + center-crop
+    fallback) — the crop INSIDE timm's ``create_transform`` stack uses these
+    semantics and defaults, not the TF/BYOL no-retry crop (reference appends
+    ``create_transform(is_training=True)``, ``data/data.py:288-298``)."""
+    width, height = img.size
+    area = height * width
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        aspect = math.exp(rng.uniform(*log_ratio))
+        w = int(round(math.sqrt(target_area * aspect)))
+        h = int(round(math.sqrt(target_area / aspect)))
+        if 0 < w <= width and 0 < h <= height:
+            i = int(rng.integers(0, height - h + 1))
+            j = int(rng.integers(0, width - w + 1))
+            return img.resize(
+                (out_size, out_size), Image.BICUBIC, box=(j, i, j + w, i + h)
+            )
+    # fallback: center crop clamped to the ratio bounds
+    in_ratio = width / height
+    if in_ratio < ratio[0]:
+        w, h = width, int(round(width / ratio[0]))
+    elif in_ratio > ratio[1]:
+        h, w = height, int(round(height * ratio[1]))
+    else:
+        w, h = width, height
+    i = (height - h) // 2
+    j = (width - w) // 2
+    return img.resize((out_size, out_size), Image.BICUBIC, box=(j, i, j + w, i + h))
+
+
 def center_crop_resize(img: Image.Image, out_size: int, crop_pct: float) -> Image.Image:
     """Resize shorter side to out_size/crop_pct then center-crop
     (reference ``data/data.py:306-311``)."""

@@ -31,7 +31,7 @@ _EVAL_SCAN_CACHE: Dict = {}
 
 def _batched_device_eval(
     eval_step: Callable, params, images: jnp.ndarray, labels: jnp.ndarray,
-    batch_size: int, temperature, keys=("bmu", "logits"),
+    batch_size: int, temperature, keys=("bmu", "logits"), batch_stats=None,
 ):
     """Evaluate a device-resident array split as ONE scanned program.
 
@@ -39,6 +39,13 @@ def _batched_device_eval(
     static. The whole pass is a single dispatch + a single device->host
     transfer — a per-batch Python loop costs a tunnel round-trip per batch
     (~90 ms each) and dominated the reported inference time.
+
+    ``batch_stats`` (BatchNorm models) is a TRACED argument of the cached
+    scan, not a closure capture — a fresh eval closure per batch_stats value
+    would recompile the whole scan on every eval (30-190 s each through the
+    tunnel). The cache key holds the eval_step OBJECT (hashable by identity);
+    ``id()`` keys alias after GC recycling when two trainers live in one
+    process.
     """
     n = images.shape[0]
     steps = (n + batch_size - 1) // batch_size
@@ -47,18 +54,18 @@ def _batched_device_eval(
         images = jnp.concatenate([images, jnp.repeat(images[:1], pad, axis=0)])
         labels = jnp.concatenate([labels, jnp.zeros((pad,), labels.dtype)])
 
-    cache_key = (id(eval_step), images.shape, batch_size, keys)
+    cache_key = (eval_step, images.shape, batch_size, keys)
     scan_fn = _EVAL_SCAN_CACHE.get(cache_key)
     if scan_fn is None:
 
-        def eval_all(params, images, labels, temperature):
+        def eval_all(params, images, labels, temperature, batch_stats):
             batched = {
                 "image": images.reshape((steps, batch_size) + images.shape[1:]),
                 "label": labels.reshape(steps, batch_size),
             }
 
             def body(carry, batch):
-                o = eval_step(params, batch, temperature)
+                o = eval_step(params, batch, temperature, batch_stats)
                 return carry, {k: o[k] for k in keys if k in o}
 
             _, outs = jax.lax.scan(body, None, batched)
@@ -67,7 +74,7 @@ def _batched_device_eval(
         scan_fn = jax.jit(eval_all)
         _EVAL_SCAN_CACHE[cache_key] = scan_fn
 
-    outs = jax.device_get(scan_fn(params, images, labels, temperature))
+    outs = jax.device_get(scan_fn(params, images, labels, temperature, batch_stats))
     return {
         k: np.asarray(v).reshape((steps * batch_size,) + v.shape[2:])[:n]
         for k, v in outs.items()
@@ -80,6 +87,7 @@ def evaluate_clustering(
     dm: DataModule,
     temperature,
     drop_last: bool = True,
+    batch_stats=None,
 ) -> Tuple[float, float, float]:
     """BMU-as-cluster purity/NMI over the training (concat) set, matching
     the reference's protocol (``train_vit_som.py:111-112``)."""
@@ -94,12 +102,15 @@ def evaluate_clustering(
 
     if dm.is_static:
         images, labels = dm.device_arrays(split, train_mode=True)
-        res = _batched_device_eval(eval_step, params, images[:n_keep], labels[:n_keep], bs, temperature)
+        res = _batched_device_eval(
+            eval_step, params, images[:n_keep], labels[:n_keep], bs,
+            temperature, batch_stats=batch_stats,
+        )
         y_pred, y_true = res["bmu"], np.asarray(labels[:n_keep])
     else:
         preds, trues = [], []
         for batch in dm.eval_batches(split, drop_last=drop_last):
-            o = eval_step(params, jax.device_put(batch), temperature)
+            o = eval_step(params, jax.device_put(batch), temperature, batch_stats)
             preds.append(o["bmu"])  # stays on device; one transfer below
             trues.append(batch["label"])
         y_pred = np.concatenate(jax.device_get(preds))
@@ -119,6 +130,7 @@ def evaluate_classification(
     split: Optional[Split] = None,
     temperature=None,
     drop_last: bool = True,
+    batch_stats=None,
 ) -> Tuple[float, float, float, float, float]:
     """Accuracy/precision/recall/F1 on the test split (reference :93-128)."""
     from vitsom_tpu.eval import metrics
@@ -132,7 +144,7 @@ def evaluate_classification(
     if len(split) < dm.cfg.batch_size:
         drop_last = False
     for batch in dm.eval_batches(split, drop_last=drop_last):
-        o = eval_step(params, jax.device_put(batch), t)
+        o = eval_step(params, jax.device_put(batch), t, batch_stats)
         preds.append(jnp.argmax(o["logits"], axis=-1))  # on device
         trues.append(batch["label"])
     if not preds:
@@ -150,12 +162,47 @@ def evaluate_classification(
     return m["accuracy"], m["precision"], m["recall"], m["f1"], dt
 
 
+def validation_metrics(
+    eval_step: Callable,
+    params,
+    dm: DataModule,
+    split: Split,
+    temperature=None,
+    batch_stats=None,
+) -> Dict[str, float]:
+    """Per-epoch validation pass: accuracy + mean per-batch val losses.
+
+    Tag parity with the reference's ``validation_step`` logging: every model
+    family logs ``val/cls_loss`` + ``val/accuracy`` (e.g.
+    ``/root/reference/models/swin.py:52-53``), and vit_som additionally logs
+    ``val/som_loss`` / ``val/total_loss`` (``models/vit_som.py:119``).
+    Losses stay on device; ONE device_get at the end (each host pull costs a
+    tunnel round-trip)."""
+    t = temperature if temperature is not None else jnp.asarray(1.0)
+    drop_last = len(split) >= dm.cfg.batch_size
+    preds, trues, losses = [], [], []
+    for batch in dm.eval_batches(split, drop_last=drop_last):
+        o = eval_step(params, jax.device_put(batch), t, batch_stats)
+        preds.append(jnp.argmax(o["logits"], axis=-1))
+        trues.append(batch["label"])
+        losses.append({k: v for k, v in o.items() if k.endswith("_loss")})
+    host = jax.device_get({"preds": preds, "losses": losses})
+    y_pred = np.concatenate(host["preds"])
+    y_true = np.concatenate(trues)
+    out = {"val/accuracy": float(np.mean(y_pred == y_true))}
+    if host["losses"] and host["losses"][0]:
+        for k in host["losses"][0]:
+            out[f"val/{k}"] = float(np.mean([l[k] for l in host["losses"]]))
+    return out
+
+
 def evaluate_kmeans(
     latent_fn: Callable,
     params,
     dm: DataModule,
     n_clusters: Optional[int] = None,
     temperature=None,
+    batch_stats=None,
 ) -> Tuple[float, float, float]:
     """k-means on latent embeddings (reference :54-91)."""
     from sklearn.cluster import KMeans
@@ -171,13 +218,14 @@ def evaluate_kmeans(
         bs = dm.cfg.batch_size
         n_keep = ((len(split) // bs) * bs) or len(split)
         res = _batched_device_eval(
-            latent_fn, params, images[:n_keep], labels[:n_keep], bs, t, keys=("latent",)
+            latent_fn, params, images[:n_keep], labels[:n_keep], bs, t,
+            keys=("latent",), batch_stats=batch_stats,
         )
         x = res["latent"].reshape(n_keep, -1)
         y_true = np.asarray(labels[:n_keep])
     else:
         for batch in dm.eval_batches(split):
-            o = latent_fn(params, jax.device_put(batch), t)
+            o = latent_fn(params, jax.device_put(batch), t, batch_stats)
             feats.append(np.asarray(o["latent"]))
             trues.append(batch["label"])
         x = np.concatenate(feats).reshape(len(np.concatenate(trues)), -1)

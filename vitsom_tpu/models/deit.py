@@ -164,6 +164,18 @@ def make_deit_train_step(cfg: Config, model: DeiT, tx, lr_schedule):
         teacher_params, teacher_stats = load_torch_resnet50(
             teacher_params, teacher_stats, pth
         )
+        print(f"DeiT teacher: loaded pretrained ResNet-50 weights from {pth}")
+    else:
+        print(
+            "=" * 72 + "\n"
+            "WARNING: DeiT teacher is RANDOMLY INITIALIZED — no resnet50.pth "
+            f"found in {cfg.data.data_dir!r}.\n"
+            "The distillation target is noise; the published DeiT accuracy "
+            "(0.857, reference README.md:66) is NOT reachable this way.\n"
+            "Provide torchvision IMAGENET1K_V2 weights as "
+            f"{pth!r} for teacher parity (reference models/deit.py:26-32).\n"
+            + "=" * 72
+        )
 
     alpha = cfg.distillation.alpha
     temp = cfg.distillation.temperature

@@ -98,50 +98,100 @@ def resnet34(num_classes: int) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), block="basic", num_classes=num_classes)
 
 
-def load_torch_resnet50(params, batch_stats, pth_path: str):
-    """Best-effort mapping of a locally provided torchvision resnet50
-    state_dict onto the Flax param tree (fc stays random, matching the
-    reference's replaced head). Returns (params, batch_stats)."""
-    import torch
+def torchvision_name_map(
+    stage_sizes: Sequence[int] = (3, 4, 6, 3), block: str = "bottleneck"
+) -> dict:
+    """Explicit torchvision-module-name -> Flax-scope-path map.
 
-    sd = torch.load(pth_path, map_location="cpu")
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
+    Flax auto-names submodules in construction order inside each scope:
+    ResNet.__call__ creates ``Conv_0``/``BatchNorm_0`` (stem), then one
+    ``Bottleneck_i`` per residual block ACROSS all stages, then ``Dense_0``;
+    each Bottleneck creates ``Conv_0..2``/``BatchNorm_0..2`` and — when it
+    downsamples — ``Conv_3``/``BatchNorm_3``. torchvision names the same
+    modules ``conv1``/``bn1``, ``layer{s}.{i}.conv{1..3}``/``bn{1..3}`` and
+    ``layer{s}.{i}.downsample.{0,1}``. The map is BY NAME, never by
+    enumeration order (order-zipped mappings silently mis-assign when either
+    side changes iteration order)."""
+    n_convs = 3 if block == "bottleneck" else 2
+    blk_name = "Bottleneck" if block == "bottleneck" else "BasicBlock"
+    m = {"conv1": "Conv_0", "bn1": "BatchNorm_0"}
+    blk = 0
+    for stage, n_blocks in enumerate(stage_sizes, start=1):
+        for i in range(n_blocks):
+            t, f = f"layer{stage}.{i}", f"{blk_name}_{blk}"
+            for j in range(1, n_convs + 1):
+                m[f"{t}.conv{j}"] = f"{f}/Conv_{j - 1}"
+                m[f"{t}.bn{j}"] = f"{f}/BatchNorm_{j - 1}"
+            # first block of each stage downsamples (ResNet.__call__)
+            if i == 0:
+                m[f"{t}.downsample.0"] = f"{f}/Conv_{n_convs}"
+                m[f"{t}.downsample.1"] = f"{f}/BatchNorm_{n_convs}"
+            blk += 1
+    return m
 
+
+def load_torch_resnet50(
+    params,
+    batch_stats,
+    pth_path: str,
+    stage_sizes: Sequence[int] = (3, 4, 6, 3),
+    block: str = "bottleneck",
+):
+    """Map a locally provided torchvision resnet state_dict onto the Flax
+    trees BY NAME with strict shape checks. ``fc`` stays random, matching the
+    reference's replaced-and-frozen head (``/root/reference/models/deit.py:28-32``).
+    Raises ValueError on any shape mismatch or unconsumed conv/BN tensor.
+    Returns (params, batch_stats)."""
     import numpy as np
+    import torch
     from flax import traverse_util
 
-    flat_p = traverse_util.flatten_dict(params, sep="/")
-    flat_b = traverse_util.flatten_dict(batch_stats, sep="/")
+    sd = torch.load(pth_path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
 
-    # torch conv weight OIHW -> flax HWIO
-    def conv_w(t):
-        return np.transpose(t.numpy(), (2, 3, 1, 0))
+    flat_p = dict(traverse_util.flatten_dict(params, sep="/"))
+    flat_b = dict(traverse_util.flatten_dict(batch_stats, sep="/"))
+    name_map = torchvision_name_map(stage_sizes, block)
 
-    # build ordered lists of torch conv/bn names and flax keys; both trees
-    # enumerate modules in identical construction order, so zip by order.
-    torch_convs = [k for k in sd if k.endswith("weight") and sd[k].ndim == 4]
-    flax_convs = [k for k in flat_p if k.endswith("Conv_0/kernel") or "/Conv_" in k and k.endswith("kernel")]
-    flax_convs = [k for k in flat_p if k.endswith("kernel") and flat_p[k].ndim == 4]
-    for tk, fk in zip(torch_convs, flax_convs):
-        w = conv_w(sd[tk])
-        if flat_p[fk].shape == w.shape:
-            flat_p[fk] = jnp.asarray(w)
+    def assign(tree, key, value):
+        if key not in tree:
+            raise ValueError(f"flax tree is missing expected key {key!r}")
+        if tuple(tree[key].shape) != tuple(value.shape):
+            raise ValueError(
+                f"shape mismatch at {key!r}: flax {tuple(tree[key].shape)} "
+                f"vs torch {tuple(value.shape)}"
+            )
+        tree[key] = jnp.asarray(value)
 
-    torch_bns = sorted({k.rsplit(".", 1)[0] for k in sd if k.endswith("running_mean")})
-    flax_bns = sorted({k.rsplit("/", 1)[0] for k in flat_b if k.endswith("mean")})
+    consumed = set()
+    for tmod, fmod in name_map.items():
+        if f"{tmod}.running_mean" in sd:  # BatchNorm module
+            assign(flat_b, f"{fmod}/mean", sd[f"{tmod}.running_mean"].numpy())
+            assign(flat_b, f"{fmod}/var", sd[f"{tmod}.running_var"].numpy())
+            assign(flat_p, f"{fmod}/scale", sd[f"{tmod}.weight"].numpy())
+            assign(flat_p, f"{fmod}/bias", sd[f"{tmod}.bias"].numpy())
+            consumed |= {
+                f"{tmod}.{s}"
+                for s in ("running_mean", "running_var", "weight", "bias")
+            }
+        elif f"{tmod}.weight" in sd:  # Conv module: torch OIHW -> flax HWIO
+            w = np.transpose(sd[f"{tmod}.weight"].numpy(), (2, 3, 1, 0))
+            assign(flat_p, f"{fmod}/kernel", w)
+            consumed.add(f"{tmod}.weight")
+        else:
+            raise ValueError(f"state_dict has no tensors for module {tmod!r}")
 
-    def order_key(name):
-        return name  # construction order == sorted order for both layouts
-
-    for tb, fb in zip(torch_bns, flax_bns):
-        flat_b[f"{fb}/mean"] = jnp.asarray(sd[f"{tb}.running_mean"].numpy())
-        flat_b[f"{fb}/var"] = jnp.asarray(sd[f"{tb}.running_var"].numpy())
-        pscale = fb.replace("batch_stats", "params") if False else fb
-        # scale/bias live in params under the same module path
-        if f"{fb}/scale" in flat_p:
-            flat_p[f"{fb}/scale"] = jnp.asarray(sd[f"{tb}.weight"].numpy())
-            flat_p[f"{fb}/bias"] = jnp.asarray(sd[f"{tb}.bias"].numpy())
+    leftover = [
+        k
+        for k in sd
+        if k not in consumed
+        and not k.startswith("fc.")  # head intentionally stays random
+        and not k.endswith("num_batches_tracked")
+    ]
+    if leftover:
+        raise ValueError(f"unconsumed state_dict tensors: {leftover[:8]}")
 
     return (
         traverse_util.unflatten_dict(flat_p, sep="/"),

@@ -159,8 +159,14 @@ def make_vit_som_train_step(
 
 
 def make_vit_som_eval_step(cfg: Config, model):
-    """Returns (bmu, logits-or-None, som_loss pieces) for val/test batches."""
+    """Returns (bmu, logits-or-None, per-batch val losses) for val/test batches.
+
+    Loss tags replicate the reference's ``validation_step``
+    (``/root/reference/models/vit_som.py:107-125``): the val total loss uses
+    the FULL (un-ramped) gamma, and cls_loss keeps the label smoothing."""
     grid_d2 = jnp.asarray(som.grid_sq_distances(cfg.som.map_size, cfg.som.topology))
+    gamma = cfg.gamma
+    smoothing = cfg.optimizer.smoothing
 
     def eval_step(params, batch, temperature, batch_stats=None):
         x = batch["image"]
@@ -168,12 +174,19 @@ def make_vit_som_eval_step(cfg: Config, model):
         weights = som.neighborhood_weights(bmu_idx, grid_d2, temperature)
         som_l = som.som_loss(weights, distances)
         recon_l = l1_loss(recon, x)
-        return {
+        out = {
             "bmu": bmu_idx,
             "logits": logits if cfg.classification else jnp.zeros((x.shape[0], 1)),
             "som_loss": som_l,
             "recon_loss": recon_l,
         }
+        if cfg.classification:
+            cls_l = cross_entropy(logits, batch["label"], smoothing)
+            out["cls_loss"] = cls_l
+            out["total_loss"] = cls_l + gamma * som_l
+        else:
+            out["total_loss"] = recon_l + gamma * som_l
+        return out
 
     return eval_step
 
@@ -333,11 +346,25 @@ def make_classifier_train_step(
 
 
 def make_classifier_eval_step(cfg: Config, model, has_batch_stats: bool = False):
+    """Baseline classifier eval; ``cls_loss`` matches the reference's
+    per-epoch ``val/cls_loss`` (all four baselines log it, e.g.
+    ``/root/reference/models/swin.py:52``, ``models/vit.py:299``). Smoothing:
+    swin/mobile_vit validate with their smoothed train loss_fn; vit uses plain
+    CE (``models/vit.py:280``) and deit's ``val_loss_fn`` is plain CE too
+    (``models/deit.py:54``)."""
+    smoothing = (
+        cfg.optimizer.smoothing if cfg.model_arch not in ("vit", "deit") else 0.0
+    )
+
     def eval_step(params, batch, temperature=None, batch_stats=None):
         variables = {"params": params}
         if has_batch_stats:
             variables["batch_stats"] = batch_stats
         logits = model.apply(variables, batch["image"])
-        return {"logits": logits, "bmu": jnp.zeros((logits.shape[0],), jnp.int32)}
+        return {
+            "logits": logits,
+            "bmu": jnp.zeros((logits.shape[0],), jnp.int32),
+            "cls_loss": cross_entropy(logits, batch["label"], smoothing),
+        }
 
     return eval_step

@@ -31,7 +31,11 @@ import numpy as np
 import optax
 
 from vitsom_tpu.config import Config
-from vitsom_tpu.data.pipeline import DataModule, build_datamodule, device_prefetch
+from vitsom_tpu.data.pipeline import (
+    DataModule,
+    build_datamodule,
+    chunked_device_prefetch,
+)
 from vitsom_tpu.eval import evaluate as eval_lib
 from vitsom_tpu.parallel import mesh as mesh_lib
 from vitsom_tpu.som import layer as som
@@ -195,6 +199,7 @@ class Trainer:
         )
         self.history: Dict[str, list] = {}
         self.peak_memory_gb = 0.0
+        self.memory_metric = "unavailable"
 
     # -- sharding wrapper --------------------------------------------------
 
@@ -293,35 +298,30 @@ class Trainer:
         else:
             # stream mode: K augmented host batches per device dispatch — a
             # per-step dispatch costs a tunnel RTT (~90ms), which would cap
-            # throughput at ~11 steps/s regardless of compute
+            # throughput at ~11 steps/s regardless of compute. Chunks are
+            # stacked on HOST and cross the tunnel once (chunked_device_
+            # prefetch); the ragged epoch tail gets ONE extra chunk_fn
+            # specialized to its length (constant across epochs -> compiled
+            # once), never a per-step dispatch fallback.
             k = max(1, cfg.train.steps_per_dispatch)
-            chunk_fn = self._build_chunk_fn(k)
+            chunk_fns = {k: self._build_chunk_fn(k)}
             step_in_epoch_log = cfg.train.log_every_n_steps
             for epoch in range(cfg.total_epochs):
-                it = device_prefetch(
-                    self.dm.train_batches(epoch, seed=cfg.train.seed + 1000 * self.run_id)
+                it = chunked_device_prefetch(
+                    self.dm.train_batches(
+                        epoch, seed=cfg.train.seed + 1000 * self.run_id
+                    ),
+                    k,
                 )
                 accum = []
                 steps_since_log = 0
-                pending: list = []
-
-                def flush(pending):
-                    nonlocal steps_since_log
-                    if not pending:
-                        return
-                    if len(pending) == k:
-                        stacked = jax.tree_util.tree_map(
-                            lambda *xs: np.stack(xs), *pending
-                        )
-                        self.state, ms = chunk_fn(self.state, stacked)
-                        accum.append(ms)  # [k]-leaved metric stacks
-                    else:  # ragged tail: per-step path
-                        for b in pending:
-                            self.state, m = self._jit_step(self.state, b)
-                            accum.append(
-                                jax.tree_util.tree_map(lambda x: x[None], m)
-                            )
-                    steps_since_log += len(pending)
+                for chunk, n in it:
+                    fn = chunk_fns.get(n)
+                    if fn is None:
+                        fn = chunk_fns[n] = self._build_chunk_fn(n)
+                    self.state, ms = fn(self.state, chunk)
+                    accum.append(ms)  # [n]-leaved metric stacks
+                    steps_since_log += n
                     if steps_since_log >= step_in_epoch_log:
                         steps_since_log = 0
                         host = jax.device_get(
@@ -331,13 +331,6 @@ class Trainer:
                             {k_: float(v[-1]) for k_, v in host["m"].items()},
                             step=int(host["step"]),
                         )
-
-                for batch in it:
-                    pending.append(batch)
-                    if len(pending) == k:
-                        flush(pending)
-                        pending = []
-                flush(pending)
 
                 if accum:
                     stacked = jax.device_get(
@@ -357,13 +350,18 @@ class Trainer:
             "wall_time_s": wall,
             "images_per_sec_per_chip": n_images / wall / max(1, len(self.mesh.devices.flat)),
             "peak_memory_gb": self.peak_memory_gb,
+            "memory_metric": self.memory_metric,
             "best_val_accuracy": best_val_acc,
             "final_step": int(self.state.step),
         }
+        mem_label = (
+            "peak mem" if self.memory_metric == "peak_bytes_in_use"
+            else "live mem (lower bound)"
+        )
         print(
             f"Training done in {wall:.2f}s — "
             f"{result['images_per_sec_per_chip']:.0f} img/s/chip, "
-            f"peak mem {self.peak_memory_gb:.3f} GB"
+            f"{mem_label} {self.peak_memory_gb:.3f} GB"
         )
         return result
 
@@ -378,13 +376,12 @@ class Trainer:
         )
 
     def eval_fn(self):
-        """Jitted eval step with the CURRENT batch_stats bound (BatchNorm
-        models — mobile_vit); a plain 3-arg step otherwise."""
-        if self.state.batch_stats is None:
-            return self._jit_eval
-        bs = self.state.batch_stats
-        jit_eval = self._jit_eval
-        return lambda p, b, t: jit_eval(p, b, t, bs)
+        """The jitted eval step — a STABLE object, so the eval-scan cache in
+        ``eval/evaluate.py`` hits across epochs. batch_stats (BatchNorm
+        models) is threaded as a traced argument via the drivers'
+        ``batch_stats=`` parameter, never closure-bound (a fresh closure per
+        eval used to recompile the whole eval scan each epoch)."""
+        return self._jit_eval
 
     def _maybe_validate(self, epoch: int, best_val_acc: float) -> float:
         cfg = self.cfg
@@ -392,11 +389,13 @@ class Trainer:
             return best_val_acc
         if (epoch + 1) % cfg.train.eval_every_n_epochs != 0:
             return best_val_acc
-        acc, *_ = eval_lib.evaluate_classification(
+        scalars = eval_lib.validation_metrics(
             self.eval_fn(), self.state.params, self.dm, split=self.dm.val,
             temperature=self.current_temperature(),
+            batch_stats=self.state.batch_stats,
         )
-        self.logger.log_scalars({"val/accuracy": acc}, step=int(self.state.step))
+        acc = scalars["val/accuracy"]
+        self.logger.log_scalars(scalars, step=int(self.state.step))
         if acc > best_val_acc:
             best_val_acc = acc
             self.save_checkpoint(tag="best")
@@ -411,11 +410,13 @@ class Trainer:
             acc, prec, rec, f1, dt = eval_lib.evaluate_classification(
                 self.eval_fn(), self.state.params, self.dm,
                 temperature=self.current_temperature(),
+                batch_stats=self.state.batch_stats,
             )
             return {"accuracy": acc, "precision": prec, "recall": rec, "f1": f1,
                     "inference_time": dt}
         p, n, dt = eval_lib.evaluate_clustering(
-            self.eval_fn(), self.state.params, self.dm, self.current_temperature()
+            self.eval_fn(), self.state.params, self.dm, self.current_temperature(),
+            batch_stats=self.state.batch_stats,
         )
         return {"purity": p, "nmi": n, "inference_time": dt}
 
@@ -540,12 +541,16 @@ class Trainer:
         """Device memory telemetry (reference prints
         ``torch.cuda.max_memory_allocated``, ``models/vit_som.py:169``).
         Prefers the runtime's peak counter; falls back to summed live device
-        arrays (a lower bound) on backends whose memory_stats() is None
-        (e.g. tunneled TPU)."""
+        arrays on backends whose memory_stats() is None (e.g. tunneled TPU).
+        The fallback is a LOWER BOUND on the true peak (freed scratch and
+        compiler temporaries are invisible to it), so it is labeled
+        ``memory_metric='live_bytes_lower_bound'`` — never compare it
+        against a true peak counter as if it were one."""
         try:
             stats = jax.local_devices()[0].memory_stats()
             if stats and "peak_bytes_in_use" in stats:
                 self.peak_memory_gb = stats["peak_bytes_in_use"] / 1e9
+                self.memory_metric = "peak_bytes_in_use"
                 return
         except Exception:
             pass
@@ -556,5 +561,6 @@ class Trainer:
                 if a.is_fully_addressable
             )
             self.peak_memory_gb = live / 1e9
+            self.memory_metric = "live_bytes_lower_bound"
         except Exception:
             pass
