@@ -199,6 +199,122 @@ def rand_augment(
     return img
 
 
+# ---------------------------------------------------------------------------
+# timm RandAugment: exact `rand-m9-mstd0.5-inc1` semantics
+# ---------------------------------------------------------------------------
+#
+# The reference's effective train transform appends timm's
+# ``create_transform(auto_augment='rand-m9-mstd0.5-inc1')`` stack
+# (``/root/reference/data/data.py:288-304``). timm's policy differs from
+# torchvision RandAugment in every dimension that matters for recipe parity:
+#   - op set: the 15 _RAND_INCREASING_TRANSFORMS (adds Invert + SolarizeAdd,
+#     drops Identity)
+#   - INCREASING magnitude semantics: Posterize/Solarize/Color/Contrast/
+#     Brightness/Sharpness get MORE destructive as m grows (torchvision's
+#     Posterize/Solarize grow less destructive)
+#   - each sampled op applies with probability 0.5 (torchvision always applies)
+#   - magnitude jitter: m ~ N(9, mstd=0.5), clamped to [0, 10]; level scale
+#     is m/10 (torchvision uses bins/31)
+#   - geometric ops fill with the dataset mean color (timm passes
+#     img_mean=round(255*mean) as fillcolor)
+
+
+def _timm_enhance_factor(m: float, rng) -> float:
+    v = (m / 10.0) * 0.9
+    return 1.0 + (-v if rng.random() < 0.5 else v)
+
+
+def _timm_ops(fill):
+    """name -> fn(img, m, rng). Level formulas follow timm
+    ``auto_augment.py`` level_to_arg fns with _MAX_LEVEL=10."""
+
+    def signed(v, rng):
+        return -v if rng.random() < 0.5 else v
+
+    def solarize_add(img, add, thresh=128):
+        lut = [min(255, i + add) if i < thresh else i for i in range(256)]
+        if img.mode == "RGB":
+            lut = lut + lut + lut
+        return img.point(lut)
+
+    f = fill if len(fill) > 1 else fill[0]
+    return {
+        "AutoContrast": lambda img, m, rng: ImageOps.autocontrast(img),
+        "Equalize": lambda img, m, rng: ImageOps.equalize(img),
+        "Invert": lambda img, m, rng: ImageOps.invert(img),
+        "Rotate": lambda img, m, rng: img.rotate(
+            signed((m / 10.0) * 30.0, rng), Image.BICUBIC, fillcolor=f
+        ),
+        "PosterizeIncreasing": lambda img, m, rng: ImageOps.posterize(
+            img, 4 - int((m / 10.0) * 4)
+        ),
+        "SolarizeIncreasing": lambda img, m, rng: ImageOps.solarize(
+            img, 256 - int((m / 10.0) * 256)
+        ),
+        "SolarizeAdd": lambda img, m, rng: solarize_add(img, int((m / 10.0) * 110)),
+        "ColorIncreasing": lambda img, m, rng: ImageEnhance.Color(img).enhance(
+            _timm_enhance_factor(m, rng)
+        ),
+        "ContrastIncreasing": lambda img, m, rng: ImageEnhance.Contrast(img).enhance(
+            _timm_enhance_factor(m, rng)
+        ),
+        "BrightnessIncreasing": lambda img, m, rng: ImageEnhance.Brightness(
+            img
+        ).enhance(_timm_enhance_factor(m, rng)),
+        "SharpnessIncreasing": lambda img, m, rng: ImageEnhance.Sharpness(
+            img
+        ).enhance(_timm_enhance_factor(m, rng)),
+        "ShearX": lambda img, m, rng: img.transform(
+            img.size, Image.AFFINE,
+            (1, signed((m / 10.0) * 0.3, rng), 0, 0, 1, 0),
+            Image.BICUBIC, fillcolor=f,
+        ),
+        "ShearY": lambda img, m, rng: img.transform(
+            img.size, Image.AFFINE,
+            (1, 0, 0, signed((m / 10.0) * 0.3, rng), 1, 0),
+            Image.BICUBIC, fillcolor=f,
+        ),
+        "TranslateXRel": lambda img, m, rng: img.transform(
+            img.size, Image.AFFINE,
+            (1, 0, signed((m / 10.0) * 0.45, rng) * img.size[0], 0, 1, 0),
+            Image.BICUBIC, fillcolor=f,
+        ),
+        "TranslateYRel": lambda img, m, rng: img.transform(
+            img.size, Image.AFFINE,
+            (1, 0, 0, 0, 1, signed((m / 10.0) * 0.45, rng) * img.size[1]),
+            Image.BICUBIC, fillcolor=f,
+        ),
+    }
+
+
+TIMM_RAND_INCREASING_OPS = tuple(_timm_ops((128, 128, 128)))
+
+
+def timm_rand_augment(
+    img: Image.Image,
+    rng: np.random.Generator,
+    num_layers: int = 2,
+    magnitude: float = 9.0,
+    mstd: float = 0.5,
+    prob: float = 0.5,
+    fill: Tuple[int, ...] = (124, 116, 104),
+) -> Image.Image:
+    """timm ``rand-m9-mstd0.5-inc1``: sample ``num_layers`` ops uniformly
+    WITH replacement; each applies with probability ``prob``; magnitude is
+    gaussian-jittered per op and clamped to [0, 10]."""
+    ops = _timm_ops(tuple(int(c) for c in fill))
+    names = list(ops)
+    for _ in range(num_layers):
+        name = names[int(rng.integers(0, len(names)))]
+        if prob < 1.0 and rng.random() > prob:
+            continue
+        m = float(magnitude)
+        if mstd > 0:
+            m = float(np.clip(rng.normal(m, mstd), 0.0, 10.0))
+        img = ops[name](img, m, rng)
+    return img
+
+
 def random_erasing(
     x: np.ndarray,
     rng: np.random.Generator,
@@ -296,22 +412,28 @@ def make_train_transform(data_cfg: DataConfig) -> Callable:
     mean, std = norm_stats(name, data_cfg.num_channels)
     mean_a = np.asarray(mean, np.float32)
     std_a = np.asarray(std, np.float32)
+    # timm fills geometric-op borders with the dataset mean color
+    # (transforms_factory.py: img_mean=tuple(min(255, round(255*x))))
+    timm_fill = tuple(min(255, round(255 * float(m))) for m in mean)
 
     def transform(x, rng):
         img = _to_pil(x)
-        # pass 1: custom TF-style RRC + RandAugment + flip (reference
-        # ``data/data.py:299-303``)
+        # pass 1: custom TF-style RRC + torchvision RandAugment + flip
+        # (reference ``data/data.py:299-303``, config-driven parameters)
         img = tf_random_resized_crop(img, rng, size, tuple(aug.resize_scale), tuple(aug.resize_ratio))
         if aug.randaug_n > 0:
             img = rand_augment(img, rng, num_ops=aug.randaug_n, magnitude=aug.randaug_m)
         if aug.horizontal_flip > 0 and rng.random() < aug.horizontal_flip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
-        # pass 2: the appended timm create_transform stack (reference :288-298)
-        img = tf_random_resized_crop(img, rng, size, tuple(aug.resize_scale), tuple(aug.resize_ratio))
-        if aug.horizontal_flip > 0 and rng.random() < aug.horizontal_flip:
+        # pass 2: the appended timm create_transform(is_training=True) stack
+        # (reference :288-298) with TIMM'S OWN defaults — torch-semantics RRC
+        # at scale (0.08, 1.0) / ratio (3/4, 4/3), flip p=0.5, then
+        # rand-m9-mstd0.5-inc1 — NOT the config's pass-1 parameters
+        img = torch_random_resized_crop(img, rng, size)
+        if rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         if aug.autoaugment:
-            img = rand_augment(img, rng, num_ops=2, magnitude=9, mstd=0.5, num_bins=11)
+            img = timm_rand_augment(img, rng, fill=timm_fill)
         arr = _from_pil(img, data_cfg.num_channels)
         arr = (arr - mean_a) / std_a
         arr = random_erasing(arr, rng, aug.reprob, aug.remode, aug.recount)
