@@ -162,8 +162,9 @@ def visualize_latent_projection(
 ) -> str:
     """2-D projection scatter of latents colored by label (reference
     ``visualize_umap_progression``, ``tools/evaluation.py:267-323``: UMAP,
-    cosine metric, n_neighbors=15). ``method='auto'`` uses UMAP when the
-    package is importable and PCA otherwise (this image has no umap-learn)."""
+    cosine metric, n_neighbors=15). UMAP is FIRST-PARTY
+    (``eval/umap_jax.py`` — kNN on the MXU, jitted SGD layout); 'auto' falls
+    back to PCA only for inputs too small for the neighbor graph."""
     latents = np.asarray(latents, np.float32).reshape(len(latents), -1)
     labels = np.asarray(labels).reshape(-1)
 
@@ -172,13 +173,11 @@ def visualize_latent_projection(
     used = method
     if method in ("auto", "umap"):
         try:
-            import umap  # type: ignore
+            from vitsom_tpu.eval.umap_jax import umap_embed
 
-            emb = umap.UMAP(
-                n_neighbors=15, metric="cosine", random_state=seed
-            ).fit_transform(latents)
+            emb = umap_embed(latents, n_neighbors=15, seed=seed)
             used = "umap"
-        except ImportError:
+        except ValueError:  # too few points for the neighbor graph
             if method == "umap":
                 raise
             used = "pca"
