@@ -198,6 +198,52 @@ def test_vit_som_cls_overfits_fixed_batch():
     assert acc > 0.4, acc
 
 
+def test_remat_blocks_numerics_identical():
+    """remat_blocks recomputes the SAME ops in the backward; params after a
+    few vit_som steps must match the non-remat run to float tolerance
+    (different fusion boundaries reassociate sums -> ~1e-6-level drift per
+    step through adamw, nothing more)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vitsom_tpu.config import load_config
+    from vitsom_tpu.models.vit_som import ViTSOM
+    from vitsom_tpu.train import optim, schedules
+    from vitsom_tpu.train import steps as steps_lib
+
+    results = {}
+    for remat in (False, True):
+        cfg = load_config("configs/vit_som/vit_som_mnist.yaml", overrides={
+            "total_epochs": 2, "batch_size": 8,
+            "som.map_size": [6, 6], "vit.depth": 2,
+            "train.use_pallas_som": False,
+            "train.remat_blocks": remat,
+        })
+        model = ViTSOM(cfg)
+        x = jnp.asarray(
+            np.random.default_rng(3).uniform(0, 1, (8, 28, 28, 1)).astype(np.float32)
+        )
+        params = model.init(jax.random.key(0), x)["params"]
+        st = steps_lib.StepStatics(4, 2, 32, 8)
+        sched = schedules.make_lr_schedule(
+            cfg.optimizer, 2, 4, optim.base_learning_rate(cfg)
+        )
+        tx = optim.make_optimizer(cfg, params, sched)
+        state = steps_lib.TrainState(
+            step=jnp.asarray(0, jnp.int32), params=params, opt_state=tx.init(params)
+        )
+        step = jax.jit(steps_lib.make_vit_som_train_step(cfg, model, tx, st, sched))
+        batch = {"image": x, "label": jnp.zeros((8,), jnp.int32)}
+        for _ in range(3):
+            state, _ = step(state, batch)
+        results[remat] = jax.device_get(state.params)
+
+    a = jax.tree_util.tree_leaves(results[False])
+    b = jax.tree_util.tree_leaves(results[True])
+    for u, v in zip(a, b):
+        np.testing.assert_allclose(u, v, atol=1e-4, rtol=1e-4)
+
+
 def test_stream_chunking_step_count(tmp_path):
     """steps_per_dispatch chunking must execute exactly steps_per_epoch
     steps per epoch (full chunks + ragged tail)."""

@@ -180,6 +180,14 @@ class DataConfig:
     # synthetic stand-in dataset is generated (for smoke tests / benches).
     allow_synthetic: bool = False
     synthetic_size: int = 4096
+    # Run the train augmentation stack ON DEVICE (jax, batched, inside the
+    # jitted epoch program) instead of per-image PIL in host workers. The
+    # TPU-native default: raw uint8 data lives in HBM and the chip augments
+    # its own batches (data/device_augment.py; distribution-parity tested).
+    # Set false to force the exact-PIL host path. Auto-falls-back to the
+    # host path for variable-size sources (jpg dirs) that can't form a
+    # uniform uint8 array.
+    device_augment: bool = True
     augment: AugmentConfig = field(default_factory=AugmentConfig)
 
     @property
@@ -206,6 +214,9 @@ class TrainConfig:
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     use_pallas_som: bool = False
     use_pallas_attention: bool = False
+    # rematerialize transformer blocks in the backward pass instead of saving
+    # their [B, H, N, N]-sized residuals (HBM-traffic trade, vit/vit_som only)
+    remat_blocks: bool = False
     # host loop
     checkpoint_every_n_epochs: int = 0  # 0 = only at end
     resume: bool = False

@@ -14,6 +14,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 def xla_attention(
@@ -29,9 +30,14 @@ def xla_attention(
         * scale
     )
     attn = jax.nn.softmax(scores, axis=-1)
+    # named for remat policies: save_only_these_names('attn_probs') keeps
+    # this tensor as the backward residual. Measured SLOWER than full remat
+    # on v5e at these shapes (see models/vit.py) — left in place because it
+    # is free and lets larger-model configs flip the policy without touching
+    # this op.
+    attn_c = checkpoint_name(attn.astype(v.dtype), "attn_probs")
     out = jnp.einsum(
-        "bhnm,bmhd->bnhd", attn.astype(v.dtype), v,
-        preferred_element_type=jnp.float32,
+        "bhnm,bmhd->bnhd", attn_c, v, preferred_element_type=jnp.float32
     )
     return out, (attn if return_attn else None)
 
