@@ -1,0 +1,108 @@
+"""Benchmark: ViT-SOM (4x4) CIFAR-10 classification training throughput.
+
+The reference trains ViT-SOM 4x4 classification on CIFAR-10 for 500 epochs
+in 2923.095 s on one CUDA GPU (``/root/reference/README.md:91``) =
+500 epochs x 390 steps x 128 images / 2923 s = 8,539 images/sec — WITH the
+full augmentation stack (TF-RRC + RandAugment + flip + timm
+rand-m9-mstd0.5-inc1 + erasing) running in 16 DataLoader workers.
+
+This bench runs the identical workload shape with the augmentation stack ON
+DEVICE (data/device_augment.py): raw uint8 CIFAR-shaped data resident in
+HBM, every epoch one compiled program (augment + train step x 390). The
+host does nothing per step, so the number is chip throughput, not
+host-augmentation throughput — the honest comparison, since the reference's
+GPU number also assumes data workers keep up.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_IMG_PER_SEC = 500 * 390 * 128 / 2923.095
+
+
+def main():
+    import jax
+
+    from vitsom_tpu.config import load_config
+    from vitsom_tpu.data.pipeline import build_datamodule
+    from vitsom_tpu.train.trainer import Trainer
+
+    overrides = {
+        "total_epochs": 500,
+        "data.allow_synthetic": True,  # zero-egress image: CIFAR-shaped stand-in
+        "data.synthetic_size": 50000,  # == len(CIFAR-10 train)
+        "train.n_runs": 1,
+        "train.use_pallas_som": True,
+        # bf16 block compute, f32 params/softmax — same policy the clustering
+        # bench validated for quality parity (purity match, commit 2ec5f3b)
+        "train.compute_dtype": "bfloat16",
+        "train.remat_blocks": True,
+    }
+    for arg in sys.argv[1:]:
+        import yaml
+
+        k, _, v = arg.partition("=")
+        overrides[k] = yaml.safe_load(v)
+
+    cfg = load_config("configs/vit_som/vit_som_cifar-10.yaml", overrides=overrides)
+    dm = build_datamodule(cfg)
+    assert dm.use_device_augment, "cls bench must run the device-augment path"
+    trainer = Trainer(cfg, dm=dm, run_id=0)
+
+    from vitsom_tpu.data.device_augment import make_device_train_augment
+
+    images, labels = dm.raw_device_arrays(dm.train)
+    epoch_fn = trainer._build_epoch_fn(
+        augment_fn=make_device_train_augment(cfg.data)
+    )
+    key = jax.random.key(0)
+    state = trainer.state
+
+    def run_epoch(state, key):
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        state, _, _ = epoch_fn(state, sub, images, labels)
+        _ = int(jax.device_get(state.step))
+        return state, key, time.time() - t0
+
+    epoch_times = []
+    for i in range(12):
+        state, key, dt = run_epoch(state, key)
+        epoch_times.append(dt)
+        print(f"# warmup epoch {i}: {dt:.2f}s", file=sys.stderr)
+        if len(epoch_times) >= 3 and all(
+            t < 1.25 * min(epoch_times) for t in epoch_times[-2:]
+        ):
+            break
+
+    n_epochs = 3
+    t0 = time.time()
+    for _ in range(n_epochs):
+        state, key, _ = run_epoch(state, key)
+    dt = time.time() - t0
+
+    img_per_sec = n_epochs * dm.steps_per_epoch * cfg.batch_size / dt
+    print(
+        json.dumps(
+            {
+                "metric": "vit_som_4x4_cifar10_cls_train_images_per_sec_per_chip",
+                "value": round(img_per_sec, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 3),
+                "implied_wall_clock_s": round(
+                    500 * dm.steps_per_epoch * cfg.batch_size / img_per_sec, 1
+                ),
+                "reference_wall_clock_s": 2923.095,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

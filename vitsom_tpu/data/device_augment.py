@@ -1,0 +1,643 @@
+"""Device-side (TPU) training augmentation: the full reference transform
+stack as one jittable, batched jax function.
+
+The reference augments on the host with per-image PIL ops inside DataLoader
+workers (``/root/reference/data/data.py:288-304`` builds the effective train
+transform: config-driven TF-RRC + torchvision RandAugment + flip, then the
+appended timm ``create_transform(is_training=True)`` stack — torch-RRC,
+flip(0.5), ``rand-m9-mstd0.5-inc1``, normalize, random erasing). On a GPU box
+with dozens of DataLoader workers that keeps up; on a TPU host it starves the
+chip (measured: the v5e spends >90% of each augmented epoch idle waiting on
+PIL). The TPU-native answer is to make augmentation part of the compiled
+program: raw uint8 images live in HBM, and every random op runs batched on
+the chip — the VPU does in one fused pass per op what 16 worker processes
+did per image.
+
+Parity notes (vs the host/PIL path, which remains available via
+``data.host_augment: true``):
+- all ops run in the [0, 255] float domain and round to integers after each
+  op, mimicking PIL's uint8 quantization between stages;
+- geometric ops sample with the same bicubic kernel PIL uses (a = -0.5,
+  Catmull-Rom) and replicate PIL's affine/rotate matrix conventions,
+  including fill behavior (black for torchvision ops, dataset-mean for timm
+  ops); PIL's adaptive antialiasing on *downscale* resizes is not replicated
+  (every shipped config upscales or keeps size in RRC; documented deviation);
+- ImageEnhance Contrast uses the float L-channel mean where PIL rounds the
+  histogram mean to an int (sub-LSB deviation);
+- RNG streams are jax counter-based, so sampled parameter SEQUENCES differ
+  from the numpy host path — the parameter DISTRIBUTIONS are identical
+  (asserted op-by-op in tests/test_device_augment.py).
+
+Op-table sources: torchvision-style table mirrors ``augment._OPS``; timm
+table mirrors ``augment._timm_ops`` (both host-validated against the
+reference recipe).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitsom_tpu.config import DataConfig
+from vitsom_tpu.data.augment import norm_stats
+
+# ---------------------------------------------------------------------------
+# resampling (PIL-convention affine warps)
+# ---------------------------------------------------------------------------
+
+# PIL bicubic: Catmull-Rom-family cubic with a = -0.5
+_CUBIC_A = -0.5
+
+
+def _cubic_weights(t: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """4-tap cubic kernel weights for fractional offset t in [0, 1);
+    taps at offsets (-1, 0, 1, 2) relative to floor(coord)."""
+    a = _CUBIC_A
+
+    def k(x):
+        ax = jnp.abs(x)
+        return jnp.where(
+            ax <= 1.0,
+            ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0,
+            jnp.where(
+                ax < 2.0, (((ax - 5.0) * ax + 8.0) * ax - 4.0) * a, 0.0
+            ),
+        )
+
+    return k(t + 1.0), k(t), k(1.0 - t), k(2.0 - t)
+
+
+def _linear_weights(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return 1.0 - t, t
+
+
+def _sample_image(
+    img: jnp.ndarray,
+    xin: jnp.ndarray,
+    yin: jnp.ndarray,
+    method: str,
+    fill: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sample one [H, W, C] image at float positions (xin, yin) [S, S]
+    (pixel-index space). Out-of-bounds sample CENTERS produce ``fill`` (PIL
+    transform semantics); in-bounds taps clamp at the edges."""
+    h, w, _ = img.shape
+    s = xin.shape[0]
+    flat = img.reshape(h * w, -1)
+
+    ix = jnp.floor(xin)
+    iy = jnp.floor(yin)
+    fx = xin - ix
+    fy = yin - iy
+    ix = ix.astype(jnp.int32)
+    iy = iy.astype(jnp.int32)
+
+    if method == "bicubic":
+        wx = _cubic_weights(fx)
+        wy = _cubic_weights(fy)
+        offs = (-1, 0, 1, 2)
+    else:
+        wx = _linear_weights(fx)
+        wy = _linear_weights(fy)
+        offs = (0, 1)
+
+    out = jnp.zeros((s, s, img.shape[2]), jnp.float32)
+    for dy, wyv in zip(offs, wy):
+        yy = jnp.clip(iy + dy, 0, h - 1)
+        for dx, wxv in zip(offs, wx):
+            xx = jnp.clip(ix + dx, 0, w - 1)
+            tap = flat[(yy * w + xx).reshape(-1)].reshape(s, s, -1)
+            out = out + tap * (wyv * wxv)[:, :, None]
+
+    valid = (xin > -0.5) & (xin < w - 0.5) & (yin > -0.5) & (yin < h - 0.5)
+    return jnp.where(valid[:, :, None], out, fill[None, None, :])
+
+
+def _warp(
+    imgs: jnp.ndarray,
+    mats: jnp.ndarray,
+    out_size: int,
+    method: str = "bicubic",
+    fill: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Batched affine warp. ``mats`` [B, 2, 3] map OUTPUT pixel centers to
+    INPUT positions, PIL convention: for output index (xo, yo) the source is
+    ``M @ (xo + .5, yo + .5, 1) - .5`` in input index space."""
+    b = imgs.shape[0]
+    s = out_size
+    xo, yo = jnp.meshgrid(
+        jnp.arange(s, dtype=jnp.float32) + 0.5,
+        jnp.arange(s, dtype=jnp.float32) + 0.5,
+        indexing="xy",
+    )
+    if fill is None:
+        fill = jnp.zeros((b, imgs.shape[-1]), jnp.float32)
+
+    def one(img, m, f):
+        xin = m[0, 0] * xo + m[0, 1] * yo + m[0, 2] - 0.5
+        yin = m[1, 0] * xo + m[1, 1] * yo + m[1, 2] - 0.5
+        return _sample_image(img, xin, yin, method, f)
+
+    return jax.vmap(one)(imgs.astype(jnp.float32), mats, fill)
+
+
+def _identity_mats(b: int) -> jnp.ndarray:
+    return jnp.broadcast_to(
+        jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32), (b, 2, 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RRC parameter sampling (both reference variants)
+# ---------------------------------------------------------------------------
+
+
+def _crop_matrix(j, i, w, h, out_size):
+    """Affine out->in for PIL ``resize(box=(j, i, j+w, i+h))``: output center
+    (xo+.5) maps to ``j + (xo+.5) * w / S`` in input space."""
+    sx = w / out_size
+    sy = h / out_size
+    z = jnp.zeros_like(sx)
+    return jnp.stack(
+        [
+            jnp.stack([sx, z, j.astype(jnp.float32)], -1),
+            jnp.stack([z, sy, i.astype(jnp.float32)], -1),
+        ],
+        -2,
+    )
+
+
+def _randint(key, minval, maxval_inclusive):
+    """Uniform integer in [minval, maxval_inclusive] with per-element bounds
+    (jax.random.randint needs concrete bounds; this uses the floor-of-uniform
+    construction — same distribution)."""
+    u = jax.random.uniform(key, minval.shape if hasattr(minval, "shape") else ())
+    span = (maxval_inclusive - minval + 1).astype(jnp.float32)
+    return minval + jnp.minimum(
+        jnp.floor(u * span), span - 1.0
+    ).astype(jnp.int32)
+
+
+def sample_tf_rrc(key, b, height, width, scale, ratio, out_size):
+    """TF/BYOL-style single-draw RRC (mirrors ``augment.tf_random_resized_crop``,
+    reference ``tools/utils.py:93-113``): no retry, w/h clamped to bounds."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    area = float(height * width)
+    target = area * jax.random.uniform(k1, (b,), minval=scale[0], maxval=scale[1])
+    aspect = jnp.exp(
+        jax.random.uniform(
+            k2, (b,), minval=math.log(ratio[0]), maxval=math.log(ratio[1])
+        )
+    )
+    w = jnp.minimum(jnp.round(jnp.sqrt(target * aspect)), float(width))
+    h = jnp.minimum(jnp.round(jnp.sqrt(target / aspect)), float(height))
+    i = _randint(k3, jnp.zeros((b,), jnp.int32), height - h.astype(jnp.int32))
+    j = _randint(k4, jnp.zeros((b,), jnp.int32), width - w.astype(jnp.int32))
+    return _crop_matrix(j, i, w, h, out_size)
+
+
+def sample_torch_rrc(key, b, height, width, out_size,
+                     scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0)):
+    """torchvision-semantics RRC: 10-attempt rejection sampling, center-crop
+    fallback (mirrors ``augment.torch_random_resized_crop``)."""
+    ks = jax.random.split(key, 4)
+    area = float(height * width)
+    # all 10 attempts drawn at once; first valid wins
+    target = area * jax.random.uniform(
+        ks[0], (b, 10), minval=scale[0], maxval=scale[1]
+    )
+    aspect = jnp.exp(
+        jax.random.uniform(
+            ks[1], (b, 10), minval=math.log(ratio[0]), maxval=math.log(ratio[1])
+        )
+    )
+    w = jnp.round(jnp.sqrt(target * aspect))
+    h = jnp.round(jnp.sqrt(target / aspect))
+    valid = (w > 0) & (w <= width) & (h > 0) & (h <= height)
+    any_valid = jnp.any(valid, axis=1)
+    first = jnp.argmax(valid, axis=1)  # index of first True (0 if none)
+    bidx = jnp.arange(b)
+    w_sel = w[bidx, first]
+    h_sel = h[bidx, first]
+
+    # center-crop fallback, ratio-clamped
+    in_ratio = width / height
+    if in_ratio < ratio[0]:
+        w_fb, h_fb = float(width), float(round(width / ratio[0]))
+    elif in_ratio > ratio[1]:
+        h_fb, w_fb = float(height), float(round(height * ratio[1]))
+    else:
+        w_fb, h_fb = float(width), float(height)
+
+    w_out = jnp.where(any_valid, w_sel, w_fb)
+    h_out = jnp.where(any_valid, h_sel, h_fb)
+    i_rand = _randint(ks[2], jnp.zeros((b,), jnp.int32), height - h_out.astype(jnp.int32))
+    j_rand = _randint(ks[3], jnp.zeros((b,), jnp.int32), width - w_out.astype(jnp.int32))
+    i = jnp.where(any_valid, i_rand, int((height - h_fb) // 2))
+    j = jnp.where(any_valid, j_rand, int((width - w_fb) // 2))
+    return _crop_matrix(j, i, w_out, h_out, out_size)
+
+
+# ---------------------------------------------------------------------------
+# pixel (color) ops — [0, 255] float domain, one image [S, S, C]
+# ---------------------------------------------------------------------------
+
+def _to_l(x: jnp.ndarray) -> jnp.ndarray:
+    """PIL convert('L'): Pillow's exact fixed-point ITU-R 601-2 transform,
+    L = (19595 R + 38470 G + 7471 B + 0x8000) >> 16."""
+    if x.shape[-1] == 1:
+        return x[..., 0]
+    acc = (
+        19595.0 * x[..., 0] + 38470.0 * x[..., 1] + 7471.0 * x[..., 2] + 32768.0
+    )
+    return jnp.floor(acc / 65536.0)
+
+
+def _blend(degenerate, x, factor):
+    """ImageEnhance: out = degenerate + factor * (x - degenerate), clipped."""
+    return jnp.clip(degenerate + factor * (x - degenerate), 0.0, 255.0)
+
+
+def op_invert(x):
+    return 255.0 - x
+
+
+def op_posterize(x, bits):
+    """Keep top ``bits`` bits (PIL ImageOps.posterize)."""
+    q = 2.0 ** (8 - bits)
+    return jnp.floor(x / q) * q
+
+
+def op_solarize(x, thresh):
+    return jnp.where(x < thresh, x, 255.0 - x)
+
+
+def op_solarize_add(x, add, thresh=128.0):
+    return jnp.where(x < thresh, jnp.minimum(x + add, 255.0), x)
+
+
+def op_brightness(x, factor):
+    return _blend(jnp.zeros_like(x), x, factor)
+
+
+def op_color(x, factor):
+    l = _to_l(x)[..., None]
+    return _blend(jnp.broadcast_to(l, x.shape), x, factor)
+
+
+def op_contrast(x, factor):
+    # PIL: int(round(mean of L histogram)) as the gray point
+    mean = jnp.round(jnp.mean(_to_l(x)))
+    return _blend(jnp.full_like(x, mean), x, factor)
+
+
+def op_sharpness(x, factor):
+    """ImageEnhance.Sharpness: blend with ImageFilter.SMOOTH (3x3 kernel
+    [1,1,1;1,5,1;1,1,1]/13). PIL leaves the 1-pixel border unfiltered."""
+    k = jnp.asarray([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+    # depthwise 3x3 via lax.conv on [C, 1, S, S]
+    s = x.shape[0]
+    xc = jnp.moveaxis(x, -1, 0)[:, None]  # [C, 1, S, S]
+    sm = jax.lax.conv_general_dilated(
+        xc, k[None, None], (1, 1), "SAME"
+    )[:, 0]
+    sm = jnp.moveaxis(sm, 0, -1)
+    sm = jnp.round(jnp.clip(sm, 0.0, 255.0))
+    border = jnp.zeros((s, s), bool).at[1:-1, 1:-1].set(True)
+    degenerate = jnp.where(border[:, :, None], sm, x)
+    return _blend(degenerate, x, factor)
+
+
+def op_autocontrast(x):
+    """Per-channel min/max rescale (cutoff 0). PIL LUT: scale = 255/(hi-lo),
+    ix = int(scale * (v - lo) + 0.5) via round."""
+    lo = jnp.min(x, axis=(0, 1), keepdims=True)
+    hi = jnp.max(x, axis=(0, 1), keepdims=True)
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-12)
+    out = jnp.clip(jnp.round((x - lo) * scale), 0.0, 255.0)
+    return jnp.where(hi > lo, out, x)
+
+
+def op_equalize(x):
+    """PIL ImageOps.equalize, per channel: step = (npixels - count of the
+    highest occupied bin) // 255; lut[i] = (step//2 + cum_{j<i} h[j]) // step
+    (identity when step == 0)."""
+    s2 = x.shape[0] * x.shape[1]
+
+    def chan(v):  # v: [S*S] in [0, 255]
+        vi = jnp.clip(jnp.round(v), 0, 255).astype(jnp.int32)
+        h = jnp.zeros((256,), jnp.int32).at[vi].add(1)
+        nonzero = h > 0
+        # count of the highest-valued nonzero bin
+        last_idx = 255 - jnp.argmax(nonzero[::-1])
+        last_count = h[last_idx]
+        n_occupied = jnp.sum(nonzero)
+        step = jnp.floor_divide(s2 - last_count, 255)
+        cum = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(h)[:-1]])
+        lut = jnp.floor_divide(step // 2 + cum, jnp.maximum(step, 1))
+        lut = jnp.clip(lut, 0, 255)
+        out = lut[vi].astype(jnp.float32)
+        use = (step > 0) & (n_occupied > 1)
+        return jnp.where(use, out, v)
+
+    flat = x.reshape(s2, -1)
+    return jax.vmap(chan, in_axes=1, out_axes=1)(flat).reshape(x.shape)
+
+
+# ---------------------------------------------------------------------------
+# geometric RA ops -> PIL-convention affine matrices
+# ---------------------------------------------------------------------------
+
+
+def _mat_shear_x(v):
+    z = jnp.zeros_like(v)
+    o = jnp.ones_like(v)
+    return jnp.stack([jnp.stack([o, v, z], -1), jnp.stack([z, z + 1.0, z], -1)], -2)
+
+
+def _mat_shear_y(v):
+    z = jnp.zeros_like(v)
+    o = jnp.ones_like(v)
+    return jnp.stack([jnp.stack([o, z, z], -1), jnp.stack([v, o, z], -1)], -2)
+
+
+def _mat_translate_x(v_px):
+    z = jnp.zeros_like(v_px)
+    o = jnp.ones_like(v_px)
+    return jnp.stack([jnp.stack([o, z, v_px], -1), jnp.stack([z, o, z], -1)], -2)
+
+
+def _mat_translate_y(v_px):
+    z = jnp.zeros_like(v_px)
+    o = jnp.ones_like(v_px)
+    return jnp.stack([jnp.stack([o, z, z], -1), jnp.stack([z, o, v_px], -1)], -2)
+
+
+def _mat_rotate(angle_deg, size):
+    """PIL Image.rotate(angle, expand=False): CCW rotation about the image
+    center (w/2, h/2); matrix maps output -> input."""
+    a = -jnp.deg2rad(angle_deg)
+    cos, sin = jnp.cos(a), jnp.sin(a)
+    cx = cy = size / 2.0
+    # translate(-c) . rot . translate(c) composed, PIL rotate convention
+    m02 = cx - cos * cx - sin * cy
+    m12 = cy + sin * cx - cos * cy
+    z = jnp.zeros_like(angle_deg)
+    return jnp.stack(
+        [jnp.stack([cos, sin, m02], -1), jnp.stack([-sin, cos, m12], -1)], -2
+    )
+
+
+# ---------------------------------------------------------------------------
+# RandAugment layers (torchvision-style and timm rand-m9-mstd0.5-inc1)
+# ---------------------------------------------------------------------------
+
+# op ids shared by both tables; geometric ops get matrices, color ops get fns
+_TV_OPS = (
+    "Identity", "AutoContrast", "Equalize", "Rotate", "Posterize", "Solarize",
+    "Color", "Contrast", "Brightness", "Sharpness", "ShearX", "ShearY",
+    "TranslateX", "TranslateY",
+)
+_TIMM_OPS = (
+    "AutoContrast", "Equalize", "Invert", "Rotate", "PosterizeIncreasing",
+    "SolarizeIncreasing", "SolarizeAdd", "ColorIncreasing",
+    "ContrastIncreasing", "BrightnessIncreasing", "SharpnessIncreasing",
+    "ShearX", "ShearY", "TranslateXRel", "TranslateYRel",
+)
+_GEO = {"Rotate", "ShearX", "ShearY", "TranslateX", "TranslateY",
+        "TranslateXRel", "TranslateYRel"}
+
+
+def _apply_color_table(x, names, op_idx, mag, signed_flip, timm: bool):
+    """Compute every color op for one image and select by op_idx. ``mag`` is
+    the per-image magnitude value; ``signed_flip`` the +/- draw."""
+    out = x
+    for k, name in enumerate(names):
+        if name in _GEO:
+            continue
+        if name == "Identity":
+            y = x
+        elif name == "AutoContrast":
+            y = op_autocontrast(x)
+        elif name == "Equalize":
+            y = op_equalize(x)
+        elif name == "Invert":
+            y = op_invert(x)
+        elif name == "Posterize":
+            # torchvision path: bits 8 -> 4 with magnitude, floor at 1
+            bits = jnp.maximum(jnp.floor(8.0 - mag * 4.0), 1.0)
+            y = op_posterize(x, bits)
+        elif name == "PosterizeIncreasing":
+            bits = 4.0 - jnp.floor(mag * 4.0)  # timm: int((m/10)*4), 4->0
+            y = op_posterize(x, jnp.maximum(bits, 1.0))
+        elif name == "Solarize":
+            y = op_solarize(x, 255.0 - mag * 255.0)
+        elif name == "SolarizeIncreasing":
+            y = op_solarize(x, 256.0 - jnp.floor(mag * 256.0))
+        elif name == "SolarizeAdd":
+            y = op_solarize_add(x, jnp.floor(mag * 110.0))
+        elif name in ("Color", "ColorIncreasing"):
+            y = op_color(x, _enh_factor(mag, signed_flip, timm))
+        elif name in ("Contrast", "ContrastIncreasing"):
+            y = op_contrast(x, _enh_factor(mag, signed_flip, timm))
+        elif name in ("Brightness", "BrightnessIncreasing"):
+            y = op_brightness(x, _enh_factor(mag, signed_flip, timm))
+        elif name in ("Sharpness", "SharpnessIncreasing"):
+            y = op_sharpness(x, _enh_factor(mag, signed_flip, timm))
+        else:  # pragma: no cover
+            raise ValueError(name)
+        out = jnp.where(op_idx == k, jnp.round(jnp.clip(y, 0.0, 255.0)), out)
+    return out
+
+
+def _enh_factor(mag, signed_flip, timm: bool):
+    """Enhance factor. timm inc1: 1 +/- (m/10)*0.9; torchvision: 1 +/- frac*0.9
+    (mag is already the [0,1] level fraction here)."""
+    v = mag * 0.9
+    return 1.0 + jnp.where(signed_flip, -v, v)
+
+
+def _geo_matrix(names, op_idx, mag, signed_flip, size, rel: bool):
+    """Per-image affine for the layer's op when geometric, else identity.
+    ``mag`` is the [0,1] level fraction; sign applied here."""
+    b = op_idx.shape[0]
+    mats = _identity_mats(b)
+    sgn = jnp.where(signed_flip, -1.0, 1.0)
+    for k, name in enumerate(names):
+        if name not in _GEO:
+            continue
+        if name == "Rotate":
+            m = _mat_rotate(sgn * mag * 30.0, size)
+        elif name == "ShearX":
+            m = _mat_shear_x(sgn * mag * 0.3)
+        elif name == "ShearY":
+            m = _mat_shear_y(sgn * mag * 0.3)
+        elif name in ("TranslateX", "TranslateXRel"):
+            m = _mat_translate_x(sgn * mag * 0.45 * size)
+        elif name in ("TranslateY", "TranslateYRel"):
+            m = _mat_translate_y(sgn * mag * 0.45 * size)
+        else:  # pragma: no cover
+            raise ValueError(name)
+        mats = jnp.where((op_idx == k)[:, None, None], m, mats)
+    return mats
+
+
+def _ra_layer(key, x, names, size, fill, timm: bool,
+              magnitude: float, mstd: float, prob: float):
+    """One RandAugment layer over the batch: draw op/magnitude/sign per
+    image, apply the color table + one shared geometric warp, select."""
+    b = x.shape[0]
+    k_op, k_apply, k_mag, k_sign = jax.random.split(key, 4)
+    op_idx = jax.random.randint(k_op, (b,), 0, len(names))
+    applied = (
+        jax.random.uniform(k_apply, (b,)) < prob
+        if prob < 1.0
+        else jnp.ones((b,), bool)
+    )
+    if timm:
+        m = jnp.clip(
+            magnitude + mstd * jax.random.normal(k_mag, (b,)), 0.0, 10.0
+        ) / 10.0
+    else:
+        m = jnp.clip(
+            magnitude + mstd * jax.random.normal(k_mag, (b,)), 0.0, 30.0
+        ) / 30.0
+    signed_flip = jax.random.uniform(k_sign, (b,)) < 0.5
+
+    is_geo = jnp.zeros((b,), bool)
+    for k, name in enumerate(names):
+        if name in _GEO:
+            is_geo = is_geo | (op_idx == k)
+
+    color = jax.vmap(
+        lambda xi, oi, mi, si: _apply_color_table(xi, names, oi, mi, si, timm)
+    )(x, op_idx, m, signed_flip)
+
+    mats = _geo_matrix(names, op_idx, m, signed_flip, float(size), timm)
+    fill_b = jnp.broadcast_to(fill[None], (b, x.shape[-1]))
+    warped = jnp.round(_warp(x, mats, size, "bicubic", fill_b))
+
+    out = jnp.where(is_geo[:, None, None, None], warped, color)
+    return jnp.where(applied[:, None, None, None], out, x)
+
+
+# ---------------------------------------------------------------------------
+# random erasing (timm pixel mode) + flips
+# ---------------------------------------------------------------------------
+
+
+def _random_erase(key, x, prob, mode, count,
+                  scale=(0.02, 1 / 3), ratio=(0.3, 3.3)):
+    """Batched timm RandomErasing on normalized floats (mirrors
+    ``augment.random_erasing``): per image, up to 10 attempts per erase."""
+    b, h, w, c = x.shape
+    k_p, k_loop = jax.random.split(key)
+    do = jax.random.uniform(k_p, (b,)) < prob
+    area = float(h * w)
+
+    for n in range(max(1, count)):
+        kn = jax.random.fold_in(k_loop, n)
+        ks = jax.random.split(kn, 5)
+        target = area * jax.random.uniform(
+            ks[0], (b, 10), minval=scale[0], maxval=scale[1]
+        )
+        aspect = jnp.exp(
+            jax.random.uniform(
+                ks[1], (b, 10), minval=math.log(ratio[0]), maxval=math.log(ratio[1])
+            )
+        )
+        eh = jnp.round(jnp.sqrt(target * aspect))
+        ew = jnp.round(jnp.sqrt(target / aspect))
+        valid = (eh < h) & (ew < w)
+        first = jnp.argmax(valid, axis=1)
+        bidx = jnp.arange(b)
+        ok = valid[bidx, first] & do
+        eh_s = eh[bidx, first].astype(jnp.int32)
+        ew_s = ew[bidx, first].astype(jnp.int32)
+        top = _randint(ks[2], jnp.zeros((b,), jnp.int32), h - eh_s)
+        left = _randint(ks[3], jnp.zeros((b,), jnp.int32), w - ew_s)
+
+        ys = jnp.arange(h)[None, :, None]
+        xs = jnp.arange(w)[None, None, :]
+        mask = (
+            (ys >= top[:, None, None]) & (ys < (top + eh_s)[:, None, None])
+            & (xs >= left[:, None, None]) & (xs < (left + ew_s)[:, None, None])
+            & ok[:, None, None]
+        )
+        if mode == "pixel":
+            fillv = jax.random.normal(ks[4], x.shape, x.dtype)
+        else:
+            fillv = jnp.zeros_like(x)
+        x = jnp.where(mask[..., None], fillv, x)
+    return x
+
+
+def _hflip(key, x, prob):
+    flip = jax.random.uniform(key, (x.shape[0],)) < prob
+    return jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+
+
+# ---------------------------------------------------------------------------
+# full pipeline factory
+# ---------------------------------------------------------------------------
+
+
+def make_device_train_augment(data_cfg: DataConfig) -> Callable:
+    """Build ``fn(key, uint8_images [B, H, W, C]) -> normalized float32
+    [B, S, S, C]`` replicating the full host train transform
+    (``augment.make_train_transform``): TF-RRC + torchvision RA + flip
+    (pass 1, config-driven), then torch-RRC + flip(0.5) + timm
+    rand-m9-mstd0.5-inc1 + normalize + erasing (pass 2, timm defaults)."""
+    aug = data_cfg.augment
+    size = data_cfg.input_size
+    mean, std = norm_stats(data_cfg.dataset, data_cfg.num_channels)
+    mean_a = jnp.asarray(mean, jnp.float32)
+    std_a = jnp.asarray(std, jnp.float32)
+    timm_fill = jnp.asarray(
+        [min(255.0, round(255 * float(m))) for m in mean], jnp.float32
+    )
+    black = jnp.zeros((len(mean),), jnp.float32)
+
+    def fn(key, images):
+        b, h, w, _ = images.shape
+        x = images.astype(jnp.float32)
+        keys = jax.random.split(key, 8)
+
+        # ---- pass 1: config-driven (reference data.py:299-303)
+        mats = sample_tf_rrc(
+            keys[0], b, h, w, tuple(aug.resize_scale), tuple(aug.resize_ratio), size
+        )
+        x = jnp.round(_warp(x, mats, size, "bicubic",
+                            jnp.broadcast_to(black[None], (b, x.shape[-1]))))
+        for layer in range(aug.randaug_n):
+            x = _ra_layer(
+                jax.random.fold_in(keys[1], layer), x, _TV_OPS, size, black,
+                timm=False, magnitude=float(aug.randaug_m), mstd=0.0, prob=1.0,
+            )
+        if aug.horizontal_flip > 0:
+            x = _hflip(keys[2], x, aug.horizontal_flip)
+
+        # ---- pass 2: appended timm create_transform stack (reference :288-298)
+        mats = sample_torch_rrc(keys[3], b, size, size, size)
+        x = jnp.round(_warp(x, mats, size, "bicubic",
+                            jnp.broadcast_to(black[None], (b, x.shape[-1]))))
+        x = _hflip(keys[4], x, 0.5)
+        if aug.autoaugment:
+            for layer in range(2):
+                x = _ra_layer(
+                    jax.random.fold_in(keys[5], layer), x, _TIMM_OPS, size,
+                    timm_fill, timm=True, magnitude=9.0, mstd=0.5, prob=0.5,
+                )
+
+        # ---- normalize + erasing
+        x = (x / 255.0 - mean_a) / std_a
+        if aug.reprob > 0:
+            x = _random_erase(keys[6], x, aug.reprob, aug.remode, aug.recount)
+        return x
+
+    return fn
