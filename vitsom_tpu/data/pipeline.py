@@ -80,16 +80,68 @@ class DataModule:
         dataset can live on device and epochs are device-side gathers."""
         return aug_lib.is_static_transform(self.cfg.data)
 
+    @property
+    def use_device_augment(self) -> bool:
+        """True when the augmented train path should run ON DEVICE: raw
+        uint8 images resident in HBM, the whole augmentation stack executed
+        batched inside the jitted epoch scan (data/device_augment.py).
+        Requires a uniform fixed-shape uint8 source array — variable-size
+        sources (jpg-dir datasets) fall back to the host pipeline."""
+        return (
+            self.cfg.data.device_augment
+            and not self.is_static
+            and isinstance(self.train.x, np.ndarray)
+            and self.train.x.dtype == np.uint8
+            and self.train.x.ndim == 4
+        )
+
+    def raw_device_arrays(self, split: Split, mesh=None):
+        """Move the UNtransformed uint8 split to device (batch-sharded under
+        multi-host, same span policy as device_arrays)."""
+        if jax.process_count() > 1:
+            from vitsom_tpu.parallel import distributed as dist
+
+            if mesh is None:
+                raise ValueError("raw_device_arrays needs the mesh when multi-host")
+            n = dist.truncate_to_multiple(len(split), mesh.devices.size)
+            span = dist.local_span(n, dist.process_index(), dist.process_count())
+            out = dist.form_global_batch(
+                {"image": split.x[span], "label": split.y[span].astype(np.int32)},
+                mesh,
+            )
+            return out["image"], out["label"]
+        return jnp.asarray(split.x), jnp.asarray(split.y.astype(np.int32))
+
     # ------------------------------------------------------------------
     # device-resident path
     # ------------------------------------------------------------------
 
-    def device_arrays(self, split: Split, train_mode: bool = True):
+    def device_arrays(self, split: Split, train_mode: bool = True, mesh=None):
         """Transform the whole split once and move it to device.
 
-        Scale-only transforms (the mnist-family ToTensor path) vectorize over
-        the whole array in one shot; anything else falls back to per-image.
+        Multi-host: each process transforms only ITS contiguous row span and
+        the spans assemble into one batch-axis-sharded global array (requires
+        ``mesh``; the split is truncated to a multiple of the device count —
+        global drop_last). Single-process (any device count) is unchanged.
         """
+        if jax.process_count() > 1:
+            from vitsom_tpu.parallel import distributed as dist
+
+            if mesh is None:
+                raise ValueError("device_arrays needs the mesh when multi-host")
+            n = dist.truncate_to_multiple(len(split), mesh.devices.size)
+            span = dist.local_span(n, dist.process_index(), dist.process_count())
+            local = Split(split.x[span], split.y[span], split.train_mode)
+            x, y = self._host_arrays(local, train_mode)
+            out = dist.form_global_batch({"image": x, "label": y}, mesh)
+            return out["image"], out["label"]
+        x, y = self._host_arrays(split, train_mode)
+        return jnp.asarray(x), jnp.asarray(y)
+
+    def _host_arrays(self, split: Split, train_mode: bool = True):
+        """Transform a split to host numpy arrays (scale-only transforms —
+        the mnist-family ToTensor path — vectorize over the whole array in
+        one shot; anything else falls back to per-image)."""
         tf = self.train_transform if train_mode else self.eval_transform
         rng = np.random.default_rng(0)
         x0 = tf(_materialize(split.x[0]), rng)
@@ -97,16 +149,14 @@ class DataModule:
             try:  # vectorized fast path for elementwise transforms
                 out = tf(split.x, np.random.default_rng(0))
                 if out.shape == (len(split),) + x0.shape:
-                    return jnp.asarray(out, jnp.float32), jnp.asarray(
-                        split.y.astype(np.int32)
-                    )
+                    return out.astype(np.float32), split.y.astype(np.int32)
             except Exception:
                 pass
         out = np.empty((len(split),) + x0.shape, dtype=np.float32)
         out[0] = x0
         for i in range(1, len(split)):
             out[i] = tf(_materialize(split.x[i]), rng)
-        return jnp.asarray(out), jnp.asarray(split.y.astype(np.int32))
+        return out, split.y.astype(np.int32)
 
     # ------------------------------------------------------------------
     # host path (augmented datasets)
@@ -121,6 +171,14 @@ class DataModule:
         perm = rng.permutation(len(split))
         steps = len(split) // bs
         idx_batches = [perm[i * bs : (i + 1) * bs] for i in range(steps)]
+        if jax.process_count() > 1:
+            # every process derives the SAME global permutation (seeded) and
+            # augments only its span of each batch; the spans reassemble into
+            # the identical global batch via form_global_* downstream
+            from vitsom_tpu.parallel import distributed as dist
+
+            pi, pc = dist.process_index(), dist.process_count()
+            idx_batches = [dist.local_batch_indices(b, pi, pc) for b in idx_batches]
         yield from _augment_batches(
             split, idx_batches, self.train_transform, self.cfg.data, epoch, seed
         )
@@ -253,7 +311,7 @@ def device_prefetch(batches: Iterator[Dict[str, np.ndarray]], depth: int = 2):
 
 
 def chunked_device_prefetch(
-    batches: Iterator[Dict[str, np.ndarray]], k: int, depth: int = 2
+    batches: Iterator[Dict[str, np.ndarray]], k: int, depth: int = 2, mesh=None
 ):
     """Stack HOST batches into chunks of (up to) ``k`` and ship each chunk to
     device as ONE transfer, prefetched ahead of compute.
@@ -269,14 +327,27 @@ def chunked_device_prefetch(
     Yields ``(chunk, n)`` where chunk is a device tree of ``[n, bs, ...]``
     leaves and ``n <= k`` (the ragged epoch tail yields once with ``n < k``).
     Producer exceptions re-raise in the consumer.
+
+    Multi-host: incoming batches are this process's LOCAL rows
+    (``DataModule.train_batches`` pre-slices them); with ``mesh`` given they
+    assemble into global batch-sharded arrays, one transfer per chunk.
     """
     buf: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = object()
     err: list = []
+    multihost = jax.process_count() > 1
+    if multihost and mesh is None:
+        raise ValueError("chunked_device_prefetch needs the mesh when multi-host")
 
     def ship(pending):
         stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *pending)
-        buf.put((jax.device_put(stacked), len(pending)))
+        if multihost:
+            from vitsom_tpu.parallel import distributed as dist
+
+            chunk = dist.form_global_stacked(stacked, mesh)
+        else:
+            chunk = jax.device_put(stacked)
+        buf.put((chunk, len(pending)))
 
     def producer():
         pending = []

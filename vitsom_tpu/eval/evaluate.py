@@ -81,6 +81,20 @@ def _batched_device_eval(
     }
 
 
+def _require_single_host(what: str) -> None:
+    """Evaluation is a single-host path (per-batch device_puts + host metric
+    math). Under multi-host training, run the final eval in a one-process
+    job on the saved checkpoint — failing loudly here beats silently scoring
+    only this host's shard of the data."""
+    import jax
+
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            f"{what} is single-host; restore the checkpoint in a "
+            "single-process run for evaluation"
+        )
+
+
 def evaluate_clustering(
     eval_step: Callable,
     params,
@@ -91,6 +105,7 @@ def evaluate_clustering(
 ) -> Tuple[float, float, float]:
     """BMU-as-cluster purity/NMI over the training (concat) set, matching
     the reference's protocol (``train_vit_som.py:111-112``)."""
+    _require_single_host("evaluate_clustering")
     from vitsom_tpu.eval import metrics
 
     start = time.time()
@@ -133,6 +148,7 @@ def evaluate_classification(
     batch_stats=None,
 ) -> Tuple[float, float, float, float, float]:
     """Accuracy/precision/recall/F1 on the test split (reference :93-128)."""
+    _require_single_host("evaluate_classification")
     from vitsom_tpu.eval import metrics
 
     split = split if split is not None else dm.test
@@ -178,6 +194,7 @@ def validation_metrics(
     ``val/som_loss`` / ``val/total_loss`` (``models/vit_som.py:119``).
     Losses stay on device; ONE device_get at the end (each host pull costs a
     tunnel round-trip)."""
+    _require_single_host("validation_metrics")
     t = temperature if temperature is not None else jnp.asarray(1.0)
     drop_last = len(split) >= dm.cfg.batch_size
     preds, trues, losses = [], [], []
@@ -205,6 +222,7 @@ def evaluate_kmeans(
     batch_stats=None,
 ) -> Tuple[float, float, float]:
     """k-means on latent embeddings (reference :54-91)."""
+    _require_single_host("evaluate_kmeans")
     from sklearn.cluster import KMeans
 
     from vitsom_tpu.eval import metrics

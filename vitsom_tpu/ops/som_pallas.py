@@ -39,12 +39,13 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
 
 _PROTO_TILE = 128
 _SQRT3_2 = math.sqrt(3.0) / 2.0
@@ -286,3 +287,46 @@ def make_fused_som(
 
     fused.defvjp(fused_fwd, fused_bwd)
     return fused
+
+
+def make_fused_som_sharded(
+    map_size: Tuple[int, int],
+    topology: str,
+    distance_fcn: str,
+    mesh: Mesh,
+    axis: str = "data",
+):
+    """DP-sharded wrapper: runs the fused Pallas kernel per batch shard.
+
+    ``pallas_call`` has no SPMD partitioning rule, so under a >1-device mesh
+    plain jit would all-gather its operands. ``shard_map`` instead runs the
+    kernel on each device's batch slice: ``x`` splits on ``axis``,
+    ``prototypes``/``temperature`` replicate, and the per-shard mean losses
+    reduce with ``pmean`` (equal shard sizes — the Trainer enforces
+    batch % n_devices == 0 — so mean-of-means == global mean, exactly the
+    reference's ``mean(w*d)`` over the full batch,
+    ``/root/reference/models/som_layer.py:137-142``). ``bmu``/``distances``
+    stay batch-sharded, matching the rest of the step's activations.
+
+    Autodiff goes through ``shard_map``: the per-shard custom VJP produces
+    local ``dp`` contributions and the replicated-input transpose inserts the
+    psum, so prototype gradients match the single-device kernel (covered by
+    tests/test_pallas_kernels.py on the 8-device CPU mesh).
+    """
+    fused = make_fused_som(map_size, topology, distance_fcn)
+
+    def body(x, prototypes, temperature):
+        loss, bmu, dist = fused(x, prototypes, temperature)
+        return jax.lax.pmean(loss, axis), bmu, dist
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=(P(), P(axis), P(axis)),
+        # pallas_call outputs carry no varying-mesh-axes metadata, so the
+        # vma checker can't type them; gradient parity with the 1-device
+        # kernel (incl. the psum'd prototype grads) is covered by
+        # tests/test_pallas_kernels.py::test_sharded_fused_som*.
+        check_vma=False,
+    )

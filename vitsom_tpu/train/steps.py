@@ -88,6 +88,7 @@ def make_vit_som_train_step(
     tx: optax.GradientTransformation,
     statics: StepStatics,
     lr_schedule: Callable,
+    mesh=None,
 ):
     grid_d2 = jnp.asarray(som.grid_sq_distances(cfg.som.map_size, cfg.som.topology))
     total_iters = statics.total_iterations_float
@@ -105,9 +106,16 @@ def make_vit_som_train_step(
     if use_fused:
         from vitsom_tpu.ops import som_pallas
 
-        fused_som = som_pallas.make_fused_som(
-            cfg.som.map_size, cfg.som.topology, cfg.som.distance_fcn
-        )
+        if mesh is not None and mesh.devices.size > 1:
+            # DP: shard_map the kernel over the batch axis (pallas_call has
+            # no SPMD rule; without this XLA would all-gather its operands)
+            fused_som = som_pallas.make_fused_som_sharded(
+                cfg.som.map_size, cfg.som.topology, cfg.som.distance_fcn, mesh
+            )
+        else:
+            fused_som = som_pallas.make_fused_som(
+                cfg.som.map_size, cfg.som.topology, cfg.som.distance_fcn
+            )
 
     def loss_fn(params, batch, step):
         x, y = batch["image"], batch["label"]

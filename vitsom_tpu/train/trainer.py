@@ -19,7 +19,6 @@ TensorBoard tags match the reference names so dashboards carry over.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from functools import partial
@@ -37,6 +36,7 @@ from vitsom_tpu.data.pipeline import (
     chunked_device_prefetch,
 )
 from vitsom_tpu.eval import evaluate as eval_lib
+from vitsom_tpu.parallel import distributed as dist_lib
 from vitsom_tpu.parallel import mesh as mesh_lib
 from vitsom_tpu.som import layer as som
 from vitsom_tpu.train import optim, schedules
@@ -87,7 +87,7 @@ def example_input(cfg: Config, batch: Optional[int] = None) -> jnp.ndarray:
 
 
 def make_steps(cfg: Config, model, dataset_len: int, steps_per_epoch: int,
-               run_id: int = 0):
+               run_id: int = 0, mesh=None):
     """Build (train_step, eval_step, statics, lr_schedule, tx) for a model.
 
     ``run_id`` folds into the init key so the benchmark's N runs start from
@@ -117,7 +117,9 @@ def make_steps(cfg: Config, model, dataset_len: int, steps_per_epoch: int,
     tx = optim.make_optimizer(cfg, params, lr_sched)
 
     if cfg.model_arch == "vit_som":
-        train_step = steps_lib.make_vit_som_train_step(cfg, model, tx, statics, lr_sched)
+        train_step = steps_lib.make_vit_som_train_step(
+            cfg, model, tx, statics, lr_sched, mesh=mesh
+        )
         eval_step = steps_lib.make_vit_som_eval_step(cfg, model)
     elif cfg.model_arch == "desom":
         train_step = steps_lib.make_desom_train_step(cfg, model, tx, statics, lr_sched)
@@ -147,20 +149,25 @@ def make_steps(cfg: Config, model, dataset_len: int, steps_per_epoch: int,
 
 class Trainer:
     def __init__(self, cfg: Config, dm: Optional[DataModule] = None, run_id: int = 0):
+        # multi-host: joins the jax.distributed runtime when the coordinator
+        # env vars are set (no-op single-process); after this jax.devices()
+        # is the GLOBAL device list so the Mesh spans hosts (SURVEY §2c)
+        dist_lib.maybe_initialize()
         self.cfg = cfg
         self.dm = dm or build_datamodule(cfg)
         self.run_id = run_id
         self.mesh = mesh_lib.make_mesh(
             cfg.train.mesh_shape[0] if cfg.train.mesh_shape else None
         )
-        if cfg.train.use_pallas_som and not mesh_lib.is_single_device(self.mesh):
-            # pallas_call has no SPMD partitioning rule — under a >1-device
-            # mesh XLA would all-gather its operands; fall back to the XLA SOM
-            # (numerically identical, see tests/test_pallas_kernels.py).
-            print("use_pallas_som disabled on multi-device mesh (XLA SOM path)")
-            self.cfg = cfg = dataclasses.replace(
-                cfg, train=dataclasses.replace(cfg.train, use_pallas_som=False)
+        n_dev = self.mesh.devices.size
+        if cfg.batch_size % n_dev != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must divide evenly across the "
+                f"{n_dev}-device data-parallel mesh"
             )
+        # On a >1-device mesh the fused SOM kernel runs under shard_map (one
+        # kernel per batch shard, pmean'd loss) — see
+        # som_pallas.make_fused_som_sharded; no fallback to the XLA path.
         self.model = build_model(cfg)
         (
             self._train_step,
@@ -171,7 +178,8 @@ class Trainer:
             init_params,
             init_batch_stats,
         ) = make_steps(
-            cfg, self.model, self.dm.n_train, self.dm.steps_per_epoch, run_id=run_id
+            cfg, self.model, self.dm.n_train, self.dm.steps_per_epoch,
+            run_id=run_id, mesh=self.mesh,
         )
 
         params = mesh_lib.put_replicated(init_params, self.mesh)
@@ -194,8 +202,14 @@ class Trainer:
         self._jit_epoch = None  # built lazily in scan mode
         self._jit_decode_images = None  # built lazily by _maybe_log_images
 
+        # process 0 owns the TensorBoard writer; other hosts keep the
+        # in-memory history only (tags/steps identical — params replicated)
         self.logger = MetricLogger(
-            os.path.join(cfg.train.log_dir, cfg.model_arch, cfg.data.dataset, f"run_{run_id}")
+            os.path.join(
+                cfg.train.log_dir, cfg.model_arch, cfg.data.dataset, f"run_{run_id}"
+            )
+            if dist_lib.is_primary()
+            else None
         )
         self.history: Dict[str, list] = {}
         self.peak_memory_gb = 0.0
@@ -214,7 +228,14 @@ class Trainer:
 
     # -- scan mode ---------------------------------------------------------
 
-    def _build_epoch_fn(self):
+    def _build_epoch_fn(self, augment_fn=None):
+        """Whole-epoch program: permutation + bulk gather + scan of steps.
+
+        With ``augment_fn`` (device-augment mode) the gathered batches are
+        RAW uint8 and the full augmentation stack runs inside the scan body —
+        the epoch, augmentation included, is ONE compiled program with zero
+        host involvement (vs. the reference's 16 DataLoader workers,
+        ``/root/reference/data/data.py:317-340``)."""
         steps = self.dm.steps_per_epoch
         bs = self.cfg.batch_size
         train_step = self._train_step
@@ -224,7 +245,8 @@ class Trainer:
             # One bulk gather per epoch (contiguous [steps, bs, ...] batches),
             # NOT one gather per step inside the scan — per-step gathers from
             # the full dataset cost ~3x the train step itself on TPU.
-            perm = jax.random.permutation(key, images.shape[0])[: steps * bs]
+            perm_key, aug_key = jax.random.split(key)
+            perm = jax.random.permutation(perm_key, images.shape[0])[: steps * bs]
             imgs = jnp.take(images, perm, axis=0).reshape(
                 (steps, bs) + images.shape[1:]
             )
@@ -235,11 +257,18 @@ class Trainer:
                 {"image": imgs, "label": lbls}, mesh
             )
 
-            def body(state, batch):
+            def body(state, xs):
+                step_key, batch = xs
+                if augment_fn is not None:
+                    batch = {
+                        "image": augment_fn(step_key, batch["image"]),
+                        "label": batch["label"],
+                    }
                 state, m = train_step(state, batch)
                 return state, m
 
-            state, ms = jax.lax.scan(body, state, stacked)
+            step_keys = jax.random.split(aug_key, steps)
+            state, ms = jax.lax.scan(body, state, (step_keys, stacked))
             mean_metrics = jax.tree_util.tree_map(lambda x: jnp.mean(x), ms)
             last_metrics = jax.tree_util.tree_map(lambda x: x[-1], ms)
             return state, mean_metrics, last_metrics
@@ -269,9 +298,23 @@ class Trainer:
         t_start = time.time()
         best_val_acc = -1.0
 
-        if self.dm.is_static:
-            images, labels = self.dm.device_arrays(self.dm.train, train_mode=True)
-            epoch_fn = self._build_epoch_fn()
+        if self.dm.is_static or self.dm.use_device_augment:
+            if self.dm.is_static:
+                images, labels = self.dm.device_arrays(
+                    self.dm.train, train_mode=True, mesh=self.mesh
+                )
+                epoch_fn = self._build_epoch_fn()
+            else:
+                # device-augment scan mode: raw uint8 in HBM, augmentation
+                # inside the compiled epoch (data/device_augment.py)
+                from vitsom_tpu.data.device_augment import make_device_train_augment
+
+                images, labels = self.dm.raw_device_arrays(
+                    self.dm.train, mesh=self.mesh
+                )
+                epoch_fn = self._build_epoch_fn(
+                    augment_fn=make_device_train_augment(cfg.data)
+                )
             key = jax.random.key(cfg.train.seed + 1000 * self.run_id)
             epoch_images = self.dm.steps_per_epoch * cfg.batch_size
             n_chips = max(1, self.mesh.devices.size)
@@ -312,6 +355,7 @@ class Trainer:
                         epoch, seed=cfg.train.seed + 1000 * self.run_id
                     ),
                     k,
+                    mesh=self.mesh,
                 )
                 accum = []
                 steps_since_log = 0
