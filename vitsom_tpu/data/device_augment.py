@@ -54,68 +54,33 @@ from vitsom_tpu.data.augment import norm_stats
 _CUBIC_A = -0.5
 
 
-def _cubic_weights(t: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
-    """4-tap cubic kernel weights for fractional offset t in [0, 1);
-    taps at offsets (-1, 0, 1, 2) relative to floor(coord)."""
+def _cubic_kernel(x: jnp.ndarray) -> jnp.ndarray:
     a = _CUBIC_A
-
-    def k(x):
-        ax = jnp.abs(x)
-        return jnp.where(
-            ax <= 1.0,
-            ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0,
-            jnp.where(
-                ax < 2.0, (((ax - 5.0) * ax + 8.0) * ax - 4.0) * a, 0.0
-            ),
-        )
-
-    return k(t + 1.0), k(t), k(1.0 - t), k(2.0 - t)
+    ax = jnp.abs(x)
+    return jnp.where(
+        ax <= 1.0,
+        ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0,
+        jnp.where(ax < 2.0, (((ax - 5.0) * ax + 8.0) * ax - 4.0) * a, 0.0),
+    )
 
 
-def _linear_weights(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    return 1.0 - t, t
+def _linear_kernel(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(1.0 - jnp.abs(x), 0.0)
 
 
-def _sample_image(
-    img: jnp.ndarray,
-    xin: jnp.ndarray,
-    yin: jnp.ndarray,
-    method: str,
-    fill: jnp.ndarray,
-) -> jnp.ndarray:
-    """Sample one [H, W, C] image at float positions (xin, yin) [S, S]
-    (pixel-index space). Out-of-bounds sample CENTERS produce ``fill`` (PIL
-    transform semantics); in-bounds taps clamp at the edges."""
-    h, w, _ = img.shape
-    s = xin.shape[0]
-    flat = img.reshape(h * w, -1)
-
-    ix = jnp.floor(xin)
-    iy = jnp.floor(yin)
-    fx = xin - ix
-    fy = yin - iy
-    ix = ix.astype(jnp.int32)
-    iy = iy.astype(jnp.int32)
-
-    if method == "bicubic":
-        wx = _cubic_weights(fx)
-        wy = _cubic_weights(fy)
-        offs = (-1, 0, 1, 2)
-    else:
-        wx = _linear_weights(fx)
-        wy = _linear_weights(fy)
-        offs = (0, 1)
-
-    out = jnp.zeros((s, s, img.shape[2]), jnp.float32)
-    for dy, wyv in zip(offs, wy):
-        yy = jnp.clip(iy + dy, 0, h - 1)
-        for dx, wxv in zip(offs, wx):
-            xx = jnp.clip(ix + dx, 0, w - 1)
-            tap = flat[(yy * w + xx).reshape(-1)].reshape(s, s, -1)
-            out = out + tap * (wyv * wxv)[:, :, None]
-
-    valid = (xin > -0.5) & (xin < w - 0.5) & (yin > -0.5) & (yin < h - 0.5)
-    return jnp.where(valid[:, :, None], out, fill[None, None, :])
+def _axis_weights(coord: jnp.ndarray, n: int, method: str) -> jnp.ndarray:
+    """Dense interpolation weights along one axis: for sample positions
+    ``coord`` [..., P] return [..., P, n] with W[..., p, i] = kernel(coord_p
+    - i). Out-of-range taps fold onto the edge pixels (PIL's tap clamping),
+    so rows sum to 1 like the gather formulation would."""
+    kern = _cubic_kernel if method == "bicubic" else _linear_kernel
+    radius = 2 if method == "bicubic" else 1
+    grid = jnp.arange(n, dtype=jnp.float32)
+    w = kern(coord[..., None] - grid)  # [..., P, n]
+    for off in range(1, radius + 1):
+        w = w.at[..., 0].add(kern(coord - (-off)))
+        w = w.at[..., n - 1].add(kern(coord - (n - 1 + off)))
+    return w
 
 
 def _warp(
@@ -127,23 +92,48 @@ def _warp(
 ) -> jnp.ndarray:
     """Batched affine warp. ``mats`` [B, 2, 3] map OUTPUT pixel centers to
     INPUT positions, PIL convention: for output index (xo, yo) the source is
-    ``M @ (xo + .5, yo + .5, 1) - .5`` in input index space."""
-    b = imgs.shape[0]
+    ``M @ (xo + .5, yo + .5, 1) - .5`` in input index space.
+
+    TPU-native formulation: instead of 16-tap gathers per pixel (measured
+    ~100 ms/step — gathers crawl on the VPU), the separable kernel weights
+    are built DENSELY per axis and the warp becomes two small batched
+    matmuls on the MXU: tmp = W_x . img (contract input x), out = W_y * tmp
+    summed over input y. Identical math to the tap-gather version, zero
+    gathers."""
+    b, h, w, c = imgs.shape
     s = out_size
+    p = s * s
     xo, yo = jnp.meshgrid(
         jnp.arange(s, dtype=jnp.float32) + 0.5,
         jnp.arange(s, dtype=jnp.float32) + 0.5,
         indexing="xy",
     )
     if fill is None:
-        fill = jnp.zeros((b, imgs.shape[-1]), jnp.float32)
+        fill = jnp.zeros((b, c), jnp.float32)
 
-    def one(img, m, f):
-        xin = m[0, 0] * xo + m[0, 1] * yo + m[0, 2] - 0.5
-        yin = m[1, 0] * xo + m[1, 1] * yo + m[1, 2] - 0.5
-        return _sample_image(img, xin, yin, method, f)
+    xof = xo.reshape(p)
+    yof = yo.reshape(p)
+    xin = (
+        mats[:, 0, 0, None] * xof + mats[:, 0, 1, None] * yof
+        + mats[:, 0, 2, None] - 0.5
+    )  # [B, P]
+    yin = (
+        mats[:, 1, 0, None] * xof + mats[:, 1, 1, None] * yof
+        + mats[:, 1, 2, None] - 0.5
+    )
 
-    return jax.vmap(one)(imgs.astype(jnp.float32), mats, fill)
+    wx = _axis_weights(xin, w, method)  # [B, P, W]
+    wy = _axis_weights(yin, h, method)  # [B, P, H]
+
+    imgs_f = imgs.astype(jnp.float32)
+    # contract input-x: [B, P, W] x [B, H, W, C] -> [B, P, H, C]
+    tmp = jnp.einsum("bpx,byxc->bpyc", wx, imgs_f)
+    # contract input-y: [B, P, H] against [B, P, H, C] -> [B, P, C]
+    out = jnp.einsum("bpy,bpyc->bpc", wy, tmp)
+
+    valid = (xin > -0.5) & (xin < w - 0.5) & (yin > -0.5) & (yin < h - 0.5)
+    out = jnp.where(valid[:, :, None], out, fill[:, None, :])
+    return out.reshape(b, s, s, c)
 
 
 def _identity_mats(b: int) -> jnp.ndarray:
@@ -330,18 +320,22 @@ def op_equalize(x):
     s2 = x.shape[0] * x.shape[1]
 
     def chan(v):  # v: [S*S] in [0, 255]
-        vi = jnp.clip(jnp.round(v), 0, 255).astype(jnp.int32)
-        h = jnp.zeros((256,), jnp.int32).at[vi].add(1)
+        vi = jnp.clip(jnp.round(v), 0, 255)
+        # histogram and LUT application as one-hot matmuls — scatter/gather
+        # run on the VPU scalar path on TPU; [P, 256] one-hot contractions
+        # ride the MXU instead
+        onehot = (vi[:, None] == jnp.arange(256.0)).astype(jnp.float32)
+        h = jnp.sum(onehot, axis=0).astype(jnp.int32)
         nonzero = h > 0
         # count of the highest-valued nonzero bin
         last_idx = 255 - jnp.argmax(nonzero[::-1])
-        last_count = h[last_idx]
+        last_count = jnp.sum(jnp.where(jnp.arange(256) == last_idx, h, 0))
         n_occupied = jnp.sum(nonzero)
         step = jnp.floor_divide(s2 - last_count, 255)
         cum = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(h)[:-1]])
         lut = jnp.floor_divide(step // 2 + cum, jnp.maximum(step, 1))
-        lut = jnp.clip(lut, 0, 255)
-        out = lut[vi].astype(jnp.float32)
+        lut = jnp.clip(lut, 0, 255).astype(jnp.float32)
+        out = onehot @ lut
         use = (step > 0) & (n_occupied > 1)
         return jnp.where(use, out, v)
 

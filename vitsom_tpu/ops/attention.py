@@ -23,12 +23,30 @@ def xla_attention(
     """q, k, v: [B, N, H, hd] -> out [B, N, H, hd] (+ optional [B, H, N, N])."""
     head_dim = q.shape[-1]
     scale = head_dim**-0.5
-    # [B, H, N, N]; scores + softmax in f32 regardless of q/k dtype (bf16
-    # mixed-precision mode keeps the reduction numerics stable)
+    # [B, H, N, N] scores, f32 accumulation on the MXU
     scores = (
         jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
         * scale
     )
+    if v.dtype == jnp.bfloat16 and not return_attn:
+        # bf16 mixed-precision: the step is HBM-bound on this N^2 tensor, so
+        # STORE it bf16 while keeping the softmax MATH f32 — the casts fuse
+        # into the producing/consuming fusions, halving score traffic. The
+        # probability normalizer stays an f32 row reduction; only the stored
+        # logits/probs quantize (validated: tests/test_bf16_parity.py drift
+        # bounds + BMU agreement).
+        s16 = scores.astype(jnp.bfloat16)
+        s32 = s16.astype(jnp.float32)
+        m = jnp.max(s32, axis=-1, keepdims=True)
+        p16 = jnp.exp(s32 - m).astype(jnp.bfloat16)
+        denom = jnp.sum(p16.astype(jnp.float32), axis=-1, keepdims=True)
+        attn_c = checkpoint_name(
+            p16 * (1.0 / denom).astype(jnp.bfloat16), "attn_probs"
+        )
+        out = jnp.einsum(
+            "bhnm,bmhd->bnhd", attn_c, v, preferred_element_type=jnp.float32
+        )
+        return out, None
     attn = jax.nn.softmax(scores, axis=-1)
     # named for remat policies: save_only_these_names('attn_probs') keeps
     # this tensor as the backward residual. Measured SLOWER than full remat
