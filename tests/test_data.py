@@ -178,3 +178,39 @@ def test_worker_pool_reused_across_epochs():
     np.testing.assert_allclose(b1[0]["image"], b1r[0]["image"])
     pl_mod.close_pools(dm)
     assert dm.train.pool is None
+
+
+def test_device_augment_gate():
+    """use_device_augment: on for uniform uint8 augmented sources, off for
+    static transforms, off when the config disables it, off for object
+    arrays (variable-size sources)."""
+    import numpy as np
+
+    from vitsom_tpu.config import load_config
+    from vitsom_tpu.data.pipeline import build_datamodule
+
+    base = {
+        "data.allow_synthetic": True,
+        "data.synthetic_size": 64,
+        "data.num_workers": 0,
+        "batch_size": 8,
+    }
+    cfg = load_config("configs/vit_som/vit_som_cifar-10.yaml", overrides=base)
+    dm = build_datamodule(cfg)
+    assert dm.use_device_augment and not dm.is_static
+
+    cfg_off = load_config(
+        "configs/vit_som/vit_som_cifar-10.yaml",
+        overrides={**base, "data.device_augment": False},
+    )
+    dm_off = build_datamodule(cfg_off)
+    assert not dm_off.use_device_augment
+
+    # static-transform dataset: scan path, not the augment path
+    cfg_mnist = load_config("configs/vit_som/vit_som_mnist.yaml", overrides=base)
+    dm_mnist = build_datamodule(cfg_mnist)
+    assert dm_mnist.is_static and not dm_mnist.use_device_augment
+
+    # variable-size (object-array) source must fall back to the host path
+    dm.train.x = np.empty((len(dm.train.y),), dtype=object)
+    assert not dm.use_device_augment

@@ -306,3 +306,37 @@ def test_vit_som_dp8_pallas_matches_single_device(tmp_path):
         # psum reduction order differs from the single-device sum; a few
         # ulps of drift compound through 8 optimizer steps
         np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# hybrid attention: XLA forward + Pallas backward
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_attention_matches_xla():
+    """impl='hybrid' (XLA fwd, Pallas VMEM-recompute bwd, flash-style
+    [B,N,D] residuals) must match the XLA path in values and grads."""
+    from vitsom_tpu.ops import attention
+
+    rng = np.random.default_rng(5)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(8, 33, 2, 8)).astype(np.float32))
+        for _ in range(3)
+    )
+    o_ref, _ = attention.xla_attention(q, k, v)
+    o_hyb = jax.jit(attention.hybrid_attention)(q, k, v)
+    np.testing.assert_allclose(np.asarray(o_hyb), np.asarray(o_ref),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(fn):
+        def f(q, k, v):
+            out = fn(q, k, v)
+            out = out[0] if isinstance(out, tuple) else out
+            return jnp.sum(out ** 2)
+        return jax.jit(jax.grad(f, argnums=(0, 1, 2)))
+
+    g_ref = loss(attention.xla_attention)(q, k, v)
+    g_hyb = loss(attention.hybrid_attention)(q, k, v)
+    for a, b, name in zip(g_ref, g_hyb, "qkv"):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=1e-3, err_msg=name)

@@ -269,3 +269,25 @@ def test_stream_chunking_step_count(tmp_path):
     t = Trainer(cfg, dm=dm, run_id=0)
     t.fit(progress=False)
     assert int(t.state.step) == 2 * dm.steps_per_epoch
+
+
+def test_epochs_per_dispatch_chunks(tmp_path):
+    """epochs_per_dispatch > 1 (multi-epoch scan per dispatch, ragged tail)
+    must execute the exact total step count and log per-epoch metrics for
+    EVERY epoch."""
+    cfg = desom_cfg(tmp_path, epochs=5)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, epochs_per_dispatch=2)
+    )
+    dm = build_datamodule(cfg)
+    trainer = Trainer(cfg, dm=dm)
+    trainer.fit(progress=False)
+    assert int(trainer.state.step) == 5 * dm.steps_per_epoch
+    losses = trainer.logger.history["train/total_loss"]
+    assert len(losses) == 5  # one entry per EPOCH, not per dispatch
+    assert losses[-1][1] < losses[0][1]
+    # logged steps are each epoch's final step
+    steps = [s for s, _ in losses]
+    assert steps == [dm.steps_per_epoch * (i + 1) for i in range(5)]

@@ -214,10 +214,22 @@ class TrainConfig:
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     use_pallas_som: bool = False
     use_pallas_attention: bool = False
+    # "" = derive from use_pallas_attention; else "xla" | "pallas" | "hybrid"
+    # (hybrid = XLA forward + Pallas VMEM-recompute backward, no N^2 residuals)
+    attn_impl: str = ""
     # rematerialize transformer blocks in the backward pass instead of saving
     # their [B, H, N, N]-sized residuals (HBM-traffic trade, vit/vit_som only)
     remat_blocks: bool = False
     # host loop
+    # scan mode: epochs chained per device dispatch. Every dispatch + metric
+    # pull costs a host RTT (~65 ms on tunneled backends) — chaining E epochs
+    # amortizes it E-fold. Per-epoch metrics are still logged (the dispatch
+    # returns [E]-stacked means); validation/image logging move to dispatch
+    # boundaries when E > 1.
+    epochs_per_dispatch: int = 1
+    # unroll factor for the step scan (XLA can overlap/fuse across unrolled
+    # iterations at the cost of code size)
+    scan_unroll: int = 1
     checkpoint_every_n_epochs: int = 0  # 0 = only at end
     resume: bool = False
     # stream mode: train steps executed per device dispatch (amortizes the

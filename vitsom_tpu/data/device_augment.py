@@ -36,8 +36,7 @@ reference recipe).
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -28,25 +28,10 @@ def xla_attention(
         jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
         * scale
     )
-    if v.dtype == jnp.bfloat16 and not return_attn:
-        # bf16 mixed-precision: the step is HBM-bound on this N^2 tensor, so
-        # STORE it bf16 while keeping the softmax MATH f32 — the casts fuse
-        # into the producing/consuming fusions, halving score traffic. The
-        # probability normalizer stays an f32 row reduction; only the stored
-        # logits/probs quantize (validated: tests/test_bf16_parity.py drift
-        # bounds + BMU agreement).
-        s16 = scores.astype(jnp.bfloat16)
-        s32 = s16.astype(jnp.float32)
-        m = jnp.max(s32, axis=-1, keepdims=True)
-        p16 = jnp.exp(s32 - m).astype(jnp.bfloat16)
-        denom = jnp.sum(p16.astype(jnp.float32), axis=-1, keepdims=True)
-        attn_c = checkpoint_name(
-            p16 * (1.0 / denom).astype(jnp.bfloat16), "attn_probs"
-        )
-        out = jnp.einsum(
-            "bhnm,bmhd->bnhd", attn_c, v, preferred_element_type=jnp.float32
-        )
-        return out, None
+    # NOTE: storing scores/probs in bf16 with f32 softmax math was tried and
+    # measured ~3% SLOWER (59.7k vs 61.7k img/s, reproduced twice) — the
+    # manual max/exp/sum chain reads the score tensor one extra time and the
+    # compiler's own softmax fusion already keeps the f32 traffic minimal.
     attn = jax.nn.softmax(scores, axis=-1)
     # named for remat policies: save_only_these_names('attn_probs') keeps
     # this tensor as the backward residual. Measured SLOWER than full remat
@@ -60,6 +45,61 @@ def xla_attention(
     return out, (attn if return_attn else None)
 
 
+@jax.custom_vjp
+def hybrid_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """XLA forward + Pallas backward.
+
+    The forward is the XLA einsum/softmax path (measured fastest at these
+    shapes); the residuals are flash-attention-style — (q, k, v, out, lse),
+    all [B, N, D]-sized — so autograd never stores an N x N tensor, and the
+    backward is the VMEM-recompute Pallas kernel
+    (``attention_pallas._fused_attention_bwd_impl``). Alternative to
+    ``train.remat_blocks`` that trades the remat replay of the whole block
+    for one Pallas program per batch-slab.
+
+    Measured on v5e (24x24 MNIST clustering, bf16): 2.31 ms/step vs 2.07 for
+    XLA + remat_blocks — the Pallas program fixed costs exceed the
+    bwd-chain traffic they remove at these shapes. Kept parity-tested
+    (tests/test_pallas_kernels.py) for larger-sequence configs."""
+    out, _ = _hybrid_fwd(q, k, v)
+    return out
+
+
+def _hybrid_fwd(q, k, v):
+    b, n, h, hd = q.shape
+    d = h * hd
+    scale = hd**-0.5
+    scores = (
+        jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+        * scale
+    )
+    m = jnp.max(scores, axis=-1)  # [B, H, N]
+    p = jnp.exp(scores - m[..., None])
+    denom = jnp.sum(p, axis=-1)  # [B, H, N]
+    attn = (p / denom[..., None]).astype(v.dtype)
+    out = jnp.einsum(
+        "bhnm,bmhd->bnhd", attn, v, preferred_element_type=jnp.float32
+    )
+    lse = m + jnp.log(denom)
+    res = (
+        q.reshape(b, n, d),
+        k.reshape(b, n, d),
+        v.reshape(b, n, d),
+        out.reshape(b, n, d),
+        lse,
+    )
+    return out, res
+
+
+def _hybrid_bwd(res, g):
+    from vitsom_tpu.ops.attention_pallas import _fused_attention_bwd_impl
+
+    return _fused_attention_bwd_impl(res, g)
+
+
+hybrid_attention.defvjp(_hybrid_fwd, _hybrid_bwd)
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -69,12 +109,15 @@ def multi_head_attention(
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Dispatch over attention implementations.
 
-    impl='pallas' uses the fused VMEM-resident kernel (falls back to XLA when
-    the attention matrix itself is requested, which only happens in offline
+    impl='pallas' uses the fused VMEM-resident kernel; impl='hybrid' pairs
+    the XLA forward with the Pallas backward (both fall back to XLA when the
+    attention matrix itself is requested, which only happens in offline
     visualization paths).
     """
     if impl == "pallas" and not return_attn:
         from vitsom_tpu.ops.attention_pallas import fused_attention
 
         return fused_attention(q, k, v), None
+    if impl == "hybrid" and not return_attn:
+        return hybrid_attention(q, k, v), None
     return xla_attention(q, k, v, return_attn=return_attn)

@@ -50,7 +50,9 @@ from vitsom_tpu.utils.logging import MetricLogger
 
 
 def build_model(cfg: Config, attn_impl: Optional[str] = None):
-    impl = attn_impl or ("pallas" if cfg.train.use_pallas_attention else "xla")
+    impl = attn_impl or cfg.train.attn_impl or (
+        "pallas" if cfg.train.use_pallas_attention else "xla"
+    )
     if cfg.model_arch == "vit_som":
         from vitsom_tpu.models.vit_som import ViTSOM
 
@@ -228,20 +230,27 @@ class Trainer:
 
     # -- scan mode ---------------------------------------------------------
 
-    def _build_epoch_fn(self, augment_fn=None):
-        """Whole-epoch program: permutation + bulk gather + scan of steps.
+    def _build_epoch_fn(self, augment_fn=None, n_epochs: int = 1):
+        """Whole-epoch program: permutation + bulk gather + scan of steps,
+        scanned over ``n_epochs`` epochs per dispatch.
 
         With ``augment_fn`` (device-augment mode) the gathered batches are
         RAW uint8 and the full augmentation stack runs inside the scan body —
         the epoch, augmentation included, is ONE compiled program with zero
         host involvement (vs. the reference's 16 DataLoader workers,
-        ``/root/reference/data/data.py:317-340``)."""
+        ``/root/reference/data/data.py:317-340``).
+
+        ``n_epochs > 1`` (``train.epochs_per_dispatch``) chains epochs in an
+        outer scan: on tunneled backends every dispatch + metric pull costs
+        a host RTT (~65 ms), which for a ~1 s epoch is a measured ~2x
+        end-to-end overhead across a 500-epoch protocol. Returns per-epoch
+        mean/last metric stacks ([n_epochs]-leaved)."""
         steps = self.dm.steps_per_epoch
         bs = self.cfg.batch_size
         train_step = self._train_step
         mesh = self.mesh
 
-        def epoch_fn(state, key, images, labels):
+        def one_epoch(state, key, images, labels):
             # One bulk gather per epoch (contiguous [steps, bs, ...] batches),
             # NOT one gather per step inside the scan — per-step gathers from
             # the full dataset cost ~3x the train step itself on TPU.
@@ -268,10 +277,22 @@ class Trainer:
                 return state, m
 
             step_keys = jax.random.split(aug_key, steps)
-            state, ms = jax.lax.scan(body, state, (step_keys, stacked))
+            state, ms = jax.lax.scan(
+                body, state, (step_keys, stacked),
+                unroll=max(1, self.cfg.train.scan_unroll),
+            )
             mean_metrics = jax.tree_util.tree_map(lambda x: jnp.mean(x), ms)
             last_metrics = jax.tree_util.tree_map(lambda x: x[-1], ms)
             return state, mean_metrics, last_metrics
+
+        def epoch_fn(state, key, images, labels):
+            def outer(state, ekey):
+                state, mean_m, last_m = one_epoch(state, ekey, images, labels)
+                return state, (mean_m, last_m)
+
+            ekeys = jax.random.split(key, n_epochs)
+            state, (means, lasts) = jax.lax.scan(outer, state, ekeys)
+            return state, means, lasts
 
         return jax.jit(epoch_fn, donate_argnums=(0,))
 
@@ -303,7 +324,7 @@ class Trainer:
                 images, labels = self.dm.device_arrays(
                     self.dm.train, train_mode=True, mesh=self.mesh
                 )
-                epoch_fn = self._build_epoch_fn()
+                aug_fn = None
             else:
                 # device-augment scan mode: raw uint8 in HBM, augmentation
                 # inside the compiled epoch (data/device_augment.py)
@@ -312,31 +333,50 @@ class Trainer:
                 images, labels = self.dm.raw_device_arrays(
                     self.dm.train, mesh=self.mesh
                 )
-                epoch_fn = self._build_epoch_fn(
-                    augment_fn=make_device_train_augment(cfg.data)
-                )
+                aug_fn = make_device_train_augment(cfg.data)
+            e_disp = max(1, cfg.train.epochs_per_dispatch)
+            epoch_fns: Dict[int, Any] = {}
+
+            def get_epoch_fn(n):
+                if n not in epoch_fns:
+                    epoch_fns[n] = self._build_epoch_fn(
+                        augment_fn=aug_fn, n_epochs=n
+                    )
+                return epoch_fns[n]
+
             key = jax.random.key(cfg.train.seed + 1000 * self.run_id)
             epoch_images = self.dm.steps_per_epoch * cfg.batch_size
             n_chips = max(1, self.mesh.devices.size)
-            for epoch in range(cfg.total_epochs):
+            epoch = 0
+            while epoch < cfg.total_epochs:
+                n = min(e_disp, cfg.total_epochs - epoch)
+                epoch_fn = get_epoch_fn(n)
                 key, sub = jax.random.split(key)
                 t_e = time.time()
                 with self._maybe_profile(epoch):
-                    self.state, mean_m, last_m = epoch_fn(self.state, sub, images, labels)
+                    self.state, mean_ms, last_ms = epoch_fn(
+                        self.state, sub, images, labels
+                    )
                     jax.block_until_ready(self.state.step)
-                # ONE batched device->host pull per epoch: each individual
+                # ONE batched device->host pull per dispatch: each individual
                 # scalar fetch costs ~65ms RTT on tunneled TPU backends, so
                 # per-metric float() calls would dominate the epoch itself.
-                host = jax.device_get({"m": mean_m, "step": self.state.step})
+                host = jax.device_get({"m": mean_ms, "step": self.state.step})
                 dt_e = time.time() - t_e
-                step = int(host["step"])
-                scalars = {k: float(v) for k, v in host["m"].items()}
-                scalars["perf/images_per_sec_per_chip"] = (
-                    epoch_images / dt_e / n_chips
-                )
-                self.logger.log_scalars(scalars, step=step)
-                self._maybe_log_images(epoch, images, step)
-                best_val_acc = self._maybe_validate(epoch, best_val_acc)
+                end_step = int(host["step"])
+                ips = n * epoch_images / dt_e / n_chips
+                for i in range(n):
+                    scalars = {k: float(v[i]) for k, v in host["m"].items()}
+                    scalars["perf/images_per_sec_per_chip"] = ips
+                    self.logger.log_scalars(
+                        scalars,
+                        step=end_step - (n - 1 - i) * self.dm.steps_per_epoch,
+                    )
+                epoch += n
+                # images/validation at dispatch boundaries (every epoch when
+                # epochs_per_dispatch == 1, the default)
+                self._maybe_log_images(epoch - 1, images, end_step)
+                best_val_acc = self._maybe_validate(epoch - 1, best_val_acc)
             jax.block_until_ready(self.state.params)
         else:
             # stream mode: K augmented host batches per device dispatch — a
