@@ -1,10 +1,14 @@
 """Benchmark: ViT-SOM (4x4) CIFAR-10 classification training throughput.
 
 The reference trains ViT-SOM 4x4 classification on CIFAR-10 for 500 epochs
-in 2923.095 s on one CUDA GPU (``/root/reference/README.md:91``) =
-500 epochs x 390 steps x 128 images / 2923 s = 8,539 images/sec — WITH the
+in 2923.095 s on one CUDA GPU (``/root/reference/README.md:91``). Its train
+loader is the 80/20 split of the 50k train set with drop_last
+(``/root/reference/data/data.py:382-391``) = 312 steps/epoch, so the
+reference rate is 500 x 312 x 128 / 2923 s = 6,832 images/sec — WITH the
 full augmentation stack (TF-RRC + RandAugment + flip + timm
-rand-m9-mstd0.5-inc1 + erasing) running in 16 DataLoader workers.
+rand-m9-mstd0.5-inc1 + erasing) running in 16 DataLoader workers. This
+bench runs the identical split/steps and computes the baseline from the
+same steps_per_epoch.
 
 This bench runs the identical workload shape with the augmentation stack ON
 DEVICE (data/device_augment.py): raw uint8 CIFAR-shaped data resident in
@@ -23,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REFERENCE_IMG_PER_SEC = 500 * 390 * 128 / 2923.095
+REFERENCE_WALL_S = 2923.095  # /root/reference/README.md:91
 
 
 def main():
@@ -40,9 +44,11 @@ def main():
         "train.n_runs": 1,
         "train.use_pallas_som": True,
         # bf16 block compute, f32 params/softmax — same policy the clustering
-        # bench validated for quality parity (purity match, commit 2ec5f3b)
+        # bench validated for quality parity (purity match, commit 2ec5f3b).
+        # remat stays OFF here: at DeiT-Ti shapes (emb 192, N=65) the N^2
+        # residuals are small and the MLP replay dominates — measured 11.9k
+        # img/s with remat vs 16.2k without.
         "train.compute_dtype": "bfloat16",
-        "train.remat_blocks": True,
     }
     for arg in sys.argv[1:]:
         import yaml
@@ -88,17 +94,19 @@ def main():
     dt = time.time() - t0
 
     img_per_sec = n_epochs * dm.steps_per_epoch * cfg.batch_size / dt
+    # identical workload both sides: 500 epochs x steps_per_epoch x 128
+    ref_img_per_sec = 500 * dm.steps_per_epoch * cfg.batch_size / REFERENCE_WALL_S
     print(
         json.dumps(
             {
                 "metric": "vit_som_4x4_cifar10_cls_train_images_per_sec_per_chip",
                 "value": round(img_per_sec, 1),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 3),
+                "vs_baseline": round(img_per_sec / ref_img_per_sec, 3),
                 "implied_wall_clock_s": round(
                     500 * dm.steps_per_epoch * cfg.batch_size / img_per_sec, 1
                 ),
-                "reference_wall_clock_s": 2923.095,
+                "reference_wall_clock_s": REFERENCE_WALL_S,
             }
         )
     )

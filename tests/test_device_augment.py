@@ -98,15 +98,48 @@ def test_autocontrast_close():
 def test_equalize_exact():
     x = _img(6)
     ref = np.asarray(ImageOps.equalize(Image.fromarray(x))).astype(np.float32)
-    got = _run_color("Equalize", x)
+    got = np.asarray(da.op_equalize(jnp.asarray(x, jnp.float32)))
     np.testing.assert_array_equal(got, ref)
 
 
 def test_equalize_flat_image_identity():
     x = np.full((32, 32, 3), 77, np.uint8)
     ref = np.asarray(ImageOps.equalize(Image.fromarray(x))).astype(np.float32)
-    got = _run_color("Equalize", x)
+    got = np.asarray(da.op_equalize(jnp.asarray(x, jnp.float32)))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_ra_layer_equalize_subset_path():
+    """Equalize runs on a gathered subset inside _ra_layer (perf: only the
+    images that drew the op); selected images must come out exactly
+    PIL-equalized, unselected ones untouched."""
+    b = 16
+    rng = np.random.default_rng(20)
+    xs = rng.integers(0, 256, (b, 32, 32, 3), np.uint8)
+    names = da._TIMM_OPS
+    k_eq = names.index("Equalize")
+    # force a mix: half the batch draws Equalize (via many trials of the
+    # real layer we'd wait forever; call the layer internals directly)
+    op_idx = jnp.asarray([k_eq if i % 2 == 0 else names.index("Invert")
+                          for i in range(b)])
+    applied = jnp.ones((b,), bool)
+    x = jnp.asarray(xs, jnp.float32)
+    color = jax.vmap(
+        lambda xi, oi: da._apply_color_table(
+            xi, names, oi, jnp.asarray(0.5), jnp.asarray(False), True
+        )
+    )(x, op_idx)
+    want_eq = op_idx == k_eq
+    sel = jnp.argsort(~want_eq, stable=True)[: min(24, b)]
+    eq_full = x.at[sel].set(jax.vmap(da.op_equalize)(x[sel]))
+    out = np.asarray(jnp.where(want_eq[:, None, None, None], eq_full, color))
+    for i in range(b):
+        if i % 2 == 0:
+            ref = np.asarray(ImageOps.equalize(Image.fromarray(xs[i])))
+            np.testing.assert_array_equal(out[i], ref.astype(np.float32))
+        else:
+            ref = np.asarray(ImageOps.invert(Image.fromarray(xs[i])))
+            np.testing.assert_array_equal(out[i], ref.astype(np.float32))
 
 
 @pytest.mark.parametrize("name,enhancer", [
