@@ -119,11 +119,19 @@ class DataModule:
     def device_arrays(self, split: Split, train_mode: bool = True, mesh=None):
         """Transform the whole split once and move it to device.
 
+        The result is cached on the Split (keyed by train_mode): the trainer
+        and the post-training evaluators use the same arrays, so evaluation
+        never re-transforms/re-uploads the dataset (the upload alone is
+        seconds of tunnel time for a 70k split).
+
         Multi-host: each process transforms only ITS contiguous row span and
         the spans assemble into one batch-axis-sharded global array (requires
         ``mesh``; the split is truncated to a multiple of the device count —
         global drop_last). Single-process (any device count) is unchanged.
         """
+        cached = getattr(split, "_device_cache", {}).get(train_mode)
+        if cached is not None:
+            return cached
         if jax.process_count() > 1:
             from vitsom_tpu.parallel import distributed as dist
 
@@ -134,9 +142,14 @@ class DataModule:
             local = Split(split.x[span], split.y[span], split.train_mode)
             x, y = self._host_arrays(local, train_mode)
             out = dist.form_global_batch({"image": x, "label": y}, mesh)
-            return out["image"], out["label"]
-        x, y = self._host_arrays(split, train_mode)
-        return jnp.asarray(x), jnp.asarray(y)
+            result = (out["image"], out["label"])
+        else:
+            x, y = self._host_arrays(split, train_mode)
+            result = (jnp.asarray(x), jnp.asarray(y))
+        if not hasattr(split, "_device_cache"):
+            split._device_cache = {}
+        split._device_cache[train_mode] = result
+        return result
 
     def _host_arrays(self, split: Split, train_mode: bool = True):
         """Transform a split to host numpy arrays (scale-only transforms —
