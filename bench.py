@@ -22,6 +22,10 @@ REFERENCE_IMG_PER_SEC = 500 * 546 * 128 / 2432.052
 
 
 def main():
+    from vitsom_tpu.utils.compilation_cache import maybe_enable
+
+    maybe_enable()
+
     import jax
     import jax.numpy as jnp
 
@@ -40,12 +44,18 @@ def main():
             "train.use_pallas_som": True,  # fused SOM kernel (tests prove parity)
             # bf16 block compute: clustering-quality parity with f32 validated
             # (purity match on the synthetic protocol, commit 2ec5f3b); params
-            # and softmax stay f32.
+            # and LN statistics stay f32.
             "train.compute_dtype": "bfloat16",
-            # remat the transformer blocks: recomputing them in the backward
-            # beats storing/reloading the [B, H, N, N] score residuals
-            # (2.44 -> 2.07 ms/step measured on v5e; HBM-traffic-bound step)
-            "train.remat_blocks": True,
+            # native bf16 [B, H, N, N] score/prob tensors, softmax included:
+            # the step is HBM-bound on exactly those tensors, and halving the
+            # bytes per softmax pass measured 2.07 -> 1.46 ms/step on v5e.
+            # Quality validated like compute_dtype: purity parity with f32 on
+            # the 40-epoch clustering protocol.
+            "train.attn_impl": "xla_bf16",
+            # remat now HURTS: with bf16 residuals, storing them beats
+            # replaying the blocks (1.46 no-remat vs 1.71 remat, measured) —
+            # the reverse of the f32-residual trade (2.44 -> 2.07 with remat)
+            "train.remat_blocks": False,
         },
     )
     dm = build_datamodule(cfg)

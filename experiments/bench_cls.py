@@ -31,6 +31,10 @@ REFERENCE_WALL_S = 2923.095  # /root/reference/README.md:91
 
 
 def main():
+    from vitsom_tpu.utils.compilation_cache import maybe_enable
+
+    maybe_enable()
+
     import jax
 
     from vitsom_tpu.config import load_config

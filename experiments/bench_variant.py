@@ -24,6 +24,10 @@ def _parse(v: str):
 
 
 def main():
+    from vitsom_tpu.utils.compilation_cache import maybe_enable
+
+    maybe_enable()
+
     import jax
 
     from vitsom_tpu.config import load_config

@@ -58,6 +58,10 @@ def main(argv=None):
 
     import yaml
 
+    from vitsom_tpu.utils.compilation_cache import maybe_enable as enable_compile_cache
+
+    enable_compile_cache()
+
     from vitsom_tpu.config import load_config
     from vitsom_tpu.eval.metrics import aggregate_runs
     from vitsom_tpu.train.trainer import Trainer

@@ -340,3 +340,86 @@ def test_hybrid_attention_matches_xla():
     for a, b, name in zip(g_ref, g_hyb, "qkv"):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-4, rtol=1e-3, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# xla_bf16 attention: native bf16 score/prob tensors
+# ---------------------------------------------------------------------------
+
+
+def test_xla_bf16_attention_matches_xla():
+    """impl='xla_bf16' keeps the XLA softmax fusion but stores/computes the
+    [B,H,N,N] tensors in bf16 — values and grads must track the f32 path to
+    bf16 resolution (~1e-2 relative on probs)."""
+    from vitsom_tpu.ops import attention
+
+    rng = np.random.default_rng(7)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(8, 33, 2, 8)).astype(np.float32))
+        for _ in range(3)
+    )
+    o_ref, _ = attention.xla_attention(q, k, v)
+    o_b16, none_attn = jax.jit(attention.xla_attention_bf16_scores)(q, k, v)
+    assert none_attn is None
+    np.testing.assert_allclose(np.asarray(o_b16), np.asarray(o_ref),
+                               atol=5e-2, rtol=5e-2)
+
+    def loss(fn):
+        def f(q, k, v):
+            out = fn(q, k, v)
+            out = out[0] if isinstance(out, tuple) else out
+            return jnp.sum(out ** 2)
+        return jax.jit(jax.grad(f, argnums=(0, 1, 2)))
+
+    g_ref = loss(attention.xla_attention)(q, k, v)
+    g_b16 = loss(attention.xla_attention_bf16_scores)(q, k, v)
+    for a, b, name in zip(g_ref, g_b16, "qkv"):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-1, rtol=1e-1, err_msg=name)
+
+
+def test_xla_bf16_dispatch():
+    from vitsom_tpu.ops import attention
+
+    rng = np.random.default_rng(8)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(2, 9, 2, 8)).astype(np.float32))
+        for _ in range(3)
+    )
+    out, attn = attention.multi_head_attention(q, k, v, impl="xla_bf16")
+    assert attn is None and out.shape == q.shape
+    # return_attn falls back to the f32 oracle path
+    out2, attn2 = attention.multi_head_attention(
+        q, k, v, impl="xla_bf16", return_attn=True
+    )
+    assert attn2 is not None
+
+
+def test_xla_bf16_store_matches_xla():
+    """impl='xla_bf16s': bf16 score/prob storage, f32 softmax math — tighter
+    tolerance than full-bf16 softmax (only bf16 rounding of scores/probs
+    differs), and grads must flow through the custom-vjp softmax."""
+    from vitsom_tpu.ops import attention
+
+    rng = np.random.default_rng(9)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(8, 33, 2, 8)).astype(np.float32))
+        for _ in range(3)
+    )
+    o_ref, _ = attention.xla_attention(q, k, v)
+    o_s, _ = jax.jit(attention.xla_attention_bf16_store)(q, k, v)
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_ref),
+                               atol=3e-2, rtol=3e-2)
+
+    def loss(fn):
+        def f(q, k, v):
+            out = fn(q, k, v)
+            out = out[0] if isinstance(out, tuple) else out
+            return jnp.sum(out ** 2)
+        return jax.jit(jax.grad(f, argnums=(0, 1, 2)))
+
+    g_ref = loss(attention.xla_attention)(q, k, v)
+    g_s = loss(attention.xla_attention_bf16_store)(q, k, v)
+    for a, b, name in zip(g_ref, g_s, "qkv"):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-1, rtol=5e-2, err_msg=name)

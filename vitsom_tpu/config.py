@@ -215,7 +215,8 @@ class TrainConfig:
     use_pallas_som: bool = False
     use_pallas_attention: bool = False
     # "" = derive from use_pallas_attention; else "xla" | "pallas" | "hybrid"
-    # (hybrid = XLA forward + Pallas VMEM-recompute backward, no N^2 residuals)
+    # | "xla_bf16" (hybrid = XLA forward + Pallas VMEM-recompute backward, no
+    # N^2 residuals; xla_bf16 = native bf16 score/prob tensors incl. softmax)
     attn_impl: str = ""
     # rematerialize transformer blocks in the backward pass instead of saving
     # their [B, H, N, N]-sized residuals (HBM-traffic trade, vit/vit_som only)

@@ -45,6 +45,100 @@ def xla_attention(
     return out, (attn if return_attn else None)
 
 
+def xla_attention_bf16_scores(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
+) -> Tuple[jnp.ndarray, None]:
+    """XLA attention with NATIVE bf16 score/prob tensors (softmax included).
+
+    Distinct from the rejected "bf16 storage + f32 softmax math" variant
+    (note in :func:`xla_attention`): here the [B, H, N, N] tensors are bf16
+    end to end, so the compiler keeps its usual softmax fusion structure but
+    every HBM pass over the score tensor moves half the bytes — forward AND
+    backward (the softmax VJP's dscores/dprobs tensors are bf16 too). The
+    MXU still accumulates the QK^T products in f32 internally; only the
+    stored outputs round to bf16. Scale is folded into q ([B, N, H, hd])
+    instead of the scores ([B, H, N, N]).
+
+    Numerics: bf16 exp/sum in the softmax introduces ~1e-2 relative error
+    on the attention probabilities. Clustering-quality parity is validated
+    the same way as compute_dtype=bf16 (purity match on the benchmark
+    protocol) before this impl is used in any shipped config.
+    """
+    head_dim = q.shape[-1]
+    scale = head_dim**-0.5
+    qb = (q * scale).astype(jnp.bfloat16)
+    kb = k.astype(jnp.bfloat16)
+    scores = jnp.einsum("bnhd,bmhd->bhnm", qb, kb)  # bf16 out, f32 MXU acc
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = checkpoint_name(attn, "attn_probs")
+    out = jnp.einsum(
+        "bhnm,bmhd->bnhd",
+        attn,
+        v.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return out, None
+
+
+def xla_attention_bf16_store(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
+) -> Tuple[jnp.ndarray, None]:
+    """bf16 score STORAGE, f32 softmax MATH (compiler-fused upcast).
+
+    Halfway point between :func:`xla_attention` (f32 scores) and
+    :func:`xla_attention_bf16_scores` (bf16 softmax math): the [B, H, N, N]
+    tensors in HBM are bf16 — half the bytes per pass on the HBM-bound step —
+    but the exp/sum run in f32 registers via ``astype`` INSIDE the softmax
+    input (XLA folds the convert into the softmax fusion, unlike the
+    previously rejected manual max/exp/sum chain which re-read the score
+    tensor an extra time; see the note in xla_attention). Only the bf16
+    rounding of the scores themselves differs numerically from the stock
+    path (which already stores probs in bf16 via ``astype(v.dtype)``).
+    """
+    head_dim = q.shape[-1]
+    scale = head_dim**-0.5
+    qb = (q * scale).astype(jnp.bfloat16)
+    kb = k.astype(jnp.bfloat16)
+    scores = jnp.einsum("bnhd,bmhd->bhnm", qb, kb)  # bf16 out, f32 MXU acc
+    attn = checkpoint_name(_softmax_f32math_bf16store(scores), "attn_probs")
+    out = jnp.einsum(
+        "bhnm,bmhd->bnhd",
+        attn,
+        v.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return out, None
+
+
+@jax.custom_vjp
+def _softmax_f32math_bf16store(scores: jnp.ndarray) -> jnp.ndarray:
+    """softmax with f32 register math over a bf16 tensor, bf16 output.
+
+    custom_vjp so the ONLY residual autodiff keeps is the bf16 probs (the
+    plain ``softmax(scores.astype(f32))`` formulation saves the f32 probs as
+    the softmax-VJP residual, putting the full-width tensor right back on
+    the HBM path this impl exists to halve)."""
+    return jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+        jnp.bfloat16
+    )
+
+
+def _softmax_b16s_fwd(scores):
+    probs = _softmax_f32math_bf16store(scores)
+    return probs, probs
+
+
+def _softmax_b16s_bwd(probs, g):
+    # d(scores) = p * (g - sum(g * p)); f32 math via fused upcast-on-read
+    pf = probs.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    inner = jnp.sum(gf * pf, axis=-1, keepdims=True)
+    return ((pf * (gf - inner)).astype(jnp.bfloat16),)
+
+
+_softmax_f32math_bf16store.defvjp(_softmax_b16s_fwd, _softmax_b16s_bwd)
+
+
 @jax.custom_vjp
 def hybrid_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """XLA forward + Pallas backward.
@@ -120,4 +214,8 @@ def multi_head_attention(
         return fused_attention(q, k, v), None
     if impl == "hybrid" and not return_attn:
         return hybrid_attention(q, k, v), None
+    if impl == "xla_bf16" and not return_attn:
+        return xla_attention_bf16_scores(q, k, v)
+    if impl == "xla_bf16s" and not return_attn:
+        return xla_attention_bf16_store(q, k, v)
     return xla_attention(q, k, v, return_attn=return_attn)

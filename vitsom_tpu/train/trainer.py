@@ -88,6 +88,16 @@ def example_input(cfg: Config, batch: Optional[int] = None) -> jnp.ndarray:
     return jnp.zeros((b, s, s, c), jnp.float32)
 
 
+def _host_cpu_device():
+    """The host CPU device, for running init-time programs that are not
+    worth a device compile (falls back to the default backend if the cpu
+    platform is unavailable)."""
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def make_steps(cfg: Config, model, dataset_len: int, steps_per_epoch: int,
                run_id: int = 0, mesh=None):
     """Build (train_step, eval_step, statics, lr_schedule, tx) for a model.
@@ -111,9 +121,15 @@ def make_steps(cfg: Config, model, dataset_len: int, steps_per_epoch: int,
             cfg.optimizer, cfg.total_epochs, steps_per_epoch, base_lr
         )
 
-    x = example_input(cfg, batch=2)
-    init_key = jax.random.fold_in(jax.random.key(cfg.train.seed), run_id)
-    variables = model.init(init_key, x)
+    # Initialize parameters on the HOST CPU backend: on tunneled TPU
+    # backends the init-forward compile alone costs 30-190 s before training
+    # starts (measured; see CLAUDE.md). Init math is deterministic across
+    # platforms (threefry RNG + initializer arithmetic), so host init + one
+    # bulk transfer (put_replicated) replaces an entire device compile.
+    with jax.default_device(_host_cpu_device()):
+        x = example_input(cfg, batch=2)
+        init_key = jax.random.fold_in(jax.random.key(cfg.train.seed), run_id)
+        variables = model.init(init_key, x)
     params = variables["params"]
     batch_stats = variables.get("batch_stats")  # BatchNorm models (mobile_vit)
     tx = optim.make_optimizer(cfg, params, lr_sched)
@@ -184,13 +200,18 @@ class Trainer:
             run_id=run_id, mesh=self.mesh,
         )
 
+        # optimizer state is built on the host too (zeros/moments of the
+        # host-resident init params), then everything crosses the tunnel in
+        # one bulk replicated put — no init-time device compiles at all
+        with jax.default_device(_host_cpu_device()):
+            host_opt_state = self.tx.init(init_params)
         params = mesh_lib.put_replicated(init_params, self.mesh)
         batch_stats = (
             mesh_lib.put_replicated(init_batch_stats, self.mesh)
             if init_batch_stats is not None
             else None
         )
-        opt_state = self.tx.init(params)
+        opt_state = mesh_lib.put_replicated(host_opt_state, self.mesh)
         self.state = steps_lib.TrainState(
             step=jnp.asarray(0, jnp.int32),
             params=params,
