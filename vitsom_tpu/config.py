@@ -243,6 +243,13 @@ class TrainConfig:
     # ``models/desom.py:160-174``)
     log_images_every_n_epochs: int = 0
 
+    def validate(self) -> None:
+        valid_impls = ("", "xla", "pallas", "hybrid", "xla_bf16", "xla_bf16s")
+        if self.attn_impl not in valid_impls:
+            raise ValueError(f"attn_impl must be one of {valid_impls}")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError("compute_dtype must be float32 or bfloat16")
+
 
 @dataclass(frozen=True)
 class Config:
@@ -267,6 +274,7 @@ class Config:
         self.ae.validate()
         self.swin.validate()
         self.optimizer.validate()
+        self.train.validate()
         if self.total_epochs < 1 or self.batch_size < 1:
             raise ValueError("bad total_epochs/batch_size")
         return self
