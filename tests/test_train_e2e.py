@@ -291,3 +291,47 @@ def test_epochs_per_dispatch_chunks(tmp_path):
     # logged steps are each epoch's final step
     steps = [s for s, _ in losses]
     assert steps == [dm.steps_per_epoch * (i + 1) for i in range(5)]
+
+
+def test_vit_som_learns_with_bf16_attention():
+    """The shipped bench numerics (compute_dtype=bfloat16 +
+    attn_impl=xla_bf16, remat off) must train end-to-end: recon loss falls
+    materially over a few dozen steps on a fixed batch. Guards the
+    bench.py default path."""
+    import jax
+    import jax.numpy as jnp
+
+    from vitsom_tpu.config import load_config
+    from vitsom_tpu.models.vit_som import ViTSOM
+    from vitsom_tpu.train import optim, schedules
+    from vitsom_tpu.train import steps as steps_lib
+
+    cfg = load_config("configs/vit_som/vit_som_mnist.yaml", overrides={
+        "total_epochs": 50, "batch_size": 16,
+        "som.map_size": [4, 4],
+        "train.compute_dtype": "bfloat16",
+        "train.attn_impl": "xla_bf16",
+        "train.remat_blocks": False,
+        "optimizer.scheduler": "constant", "optimizer.warmup_epochs": 0,
+    })
+    model = ViTSOM(cfg, attn_impl="xla_bf16")
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, size=(16, 28, 28, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)["params"]
+    st = steps_lib.StepStatics(10, 50, 160, 16)
+    sched = schedules.make_lr_schedule(
+        cfg.optimizer, 50, 10, optim.base_learning_rate(cfg)
+    )
+    tx = optim.make_optimizer(cfg, params, sched)
+    state = steps_lib.TrainState(
+        step=jnp.asarray(0, jnp.int32), params=params, opt_state=tx.init(params)
+    )
+    step = jax.jit(steps_lib.make_vit_som_train_step(cfg, model, tx, st, sched))
+    batch = {"image": x, "label": jnp.zeros((16,), jnp.int32)}
+    first = None
+    for _ in range(60):
+        state, m = step(state, batch)
+        if first is None:
+            first = float(m["train/recon_loss"])
+    final = float(m["train/recon_loss"])
+    assert final < 0.6 * first, (first, final)
