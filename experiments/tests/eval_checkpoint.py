@@ -12,7 +12,14 @@ and a saved checkpoint, then report
 
 Usage:
     python experiments/tests/eval_checkpoint.py --config configs/vit_som/vit_som_mnist.yaml
+    python experiments/tests/eval_checkpoint.py --checkpoint experiments/states/vit_som/mnist_run0_last
     ... [--tag last|best] [--synthetic] [--figures-dir img/]
+
+With ``--checkpoint`` the config embedded in the checkpoint directory is
+used (``save_hyperparameters`` parity, reference ``models/vit_som.py:26``)
+— no ``--config`` needed and no config/checkpoint drift possible; passing
+both restores from the explicit directory while the trainer's structural
+config check guards the mismatch.
 """
 
 from __future__ import annotations
@@ -28,7 +35,10 @@ import numpy as np
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="vitsom-tpu checkpoint evaluation")
-    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="checkpoint directory; its embedded config is "
+                             "used when --config is absent")
     parser.add_argument("--tag", type=str, default="last", help="checkpoint tag (last/best)")
     parser.add_argument("--run-id", type=int, default=0)
     parser.add_argument("--synthetic", action="store_true")
@@ -60,10 +70,25 @@ def main(argv=None):
     for ov in args.override:
         k, _, v = ov.partition("=")
         overrides[k] = yaml.safe_load(v)
-    cfg = load_config(args.config, overrides=overrides or None)
+    if args.config is not None:
+        cfg = load_config(args.config, overrides=overrides or None)
+    elif args.checkpoint is not None:
+        from vitsom_tpu.config import apply_overrides
+        from vitsom_tpu.train.trainer import load_checkpoint_config
+
+        cfg = load_checkpoint_config(args.checkpoint)
+        if cfg is None:
+            parser.error(
+                f"no embedded config in {args.checkpoint} (pre-embedding "
+                f"checkpoint) — pass --config"
+            )
+        if overrides:
+            cfg = apply_overrides(cfg, overrides).validate()
+    else:
+        parser.error("one of --config / --checkpoint is required")
     dm = build_datamodule(cfg)
     trainer = Trainer(cfg, dm=dm, run_id=args.run_id)
-    trainer.restore_checkpoint(tag=args.tag)
+    trainer.restore_checkpoint(tag=args.tag, path=args.checkpoint)
     print(f"restored {cfg.model_arch}/{cfg.data.dataset} checkpoint "
           f"'{args.tag}' at step {int(trainer.state.step)}")
 

@@ -72,6 +72,97 @@ def test_checkpoint_restore_and_continue(tmp_path):
     assert int(t2.state.step) == 2 * step_after_fit
 
 
+def test_config_dict_roundtrip():
+    """config_from_dict(cfg.to_dict()) must be the identical Config."""
+    from vitsom_tpu.config import config_from_dict, load_config
+
+    for path in (
+        "configs/vit_som/vit_som_mnist.yaml",
+        "configs/desom/desom_mnist.yaml",
+        "configs/swin/swin_cifar-10.yaml",
+    ):
+        cfg = load_config(path)
+        assert config_from_dict(cfg.to_dict()) == cfg
+
+
+def test_checkpoint_embeds_config(tmp_path):
+    """Checkpoints carry their config (save_hyperparameters parity,
+    reference models/vit_som.py:26): restorable standalone, and a
+    structural config mismatch on restore fails loudly."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from vitsom_tpu.config import load_config
+    from vitsom_tpu.data.pipeline import build_datamodule
+    from vitsom_tpu.train.trainer import Trainer, load_checkpoint_config
+
+    overrides = {
+        "total_epochs": 1,
+        "batch_size": 16,
+        "data.allow_synthetic": True,
+        "data.synthetic_size": 32,
+        "train.n_runs": 1,
+        "train.checkpoint_dir": str(tmp_path / "states"),
+        "train.log_dir": str(tmp_path / "logs"),
+        "ae.encoder_dims": [32, 8],
+        "som.map_size": [4, 4],
+    }
+    cfg = load_config("configs/desom/desom_mnist.yaml", overrides=overrides)
+    dm = build_datamodule(cfg)
+    t = Trainer(cfg, dm=dm, run_id=0)
+    t.fit(progress=False)
+    t.save_checkpoint(tag="last")
+
+    saved = load_checkpoint_config(t.checkpoint_dir("last"))
+    assert saved == cfg
+
+    # structural mismatch (different SOM grid -> different prototype shape)
+    bad_cfg = dataclasses.replace(
+        cfg, som=dataclasses.replace(cfg.som, map_size=(8, 8))
+    )
+    t_bad = Trainer(bad_cfg, dm=build_datamodule(bad_cfg), run_id=0)
+    with _pytest.raises(ValueError, match="som"):
+        t_bad.restore_checkpoint(tag="last")
+
+
+def test_eval_checkpoint_from_checkpoint_alone(tmp_path):
+    """eval_checkpoint.py --checkpoint <dir> runs with no --config."""
+    from vitsom_tpu.config import load_config
+    from vitsom_tpu.data.pipeline import build_datamodule
+    from vitsom_tpu.train.trainer import Trainer
+
+    overrides = {
+        "total_epochs": 1,
+        "batch_size": 16,
+        "data.allow_synthetic": True,
+        "data.synthetic_size": 32,
+        "train.n_runs": 1,
+        "train.checkpoint_dir": str(tmp_path / "states"),
+        "train.log_dir": str(tmp_path / "logs"),
+        "ae.encoder_dims": [32, 8],
+        "som.map_size": [4, 4],
+    }
+    cfg = load_config("configs/desom/desom_mnist.yaml", overrides=overrides)
+    dm = build_datamodule(cfg)
+    t = Trainer(cfg, dm=dm, run_id=0)
+    t.fit(progress=False)
+    t.save_checkpoint(tag="last")
+
+    import sys
+
+    sys.path.insert(0, "experiments/tests")
+    try:
+        import eval_checkpoint
+
+        results = eval_checkpoint.main(
+            ["--checkpoint", t.checkpoint_dir("last"), "--no-kmeans"]
+        )
+    finally:
+        sys.path.pop(0)
+    assert 0.0 <= results["purity"] <= 1.0
+
+
 def test_desom_batchnorm_end_to_end(tmp_path):
     """DESOM with ae.batch_norm=true: BN stats must thread through the train
     step, the bound eval step, and checkpoints (regression: eval_fn used to

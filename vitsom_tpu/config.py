@@ -180,6 +180,16 @@ class DataConfig:
     # synthetic stand-in dataset is generated (for smoke tests / benches).
     allow_synthetic: bool = False
     synthetic_size: int = 4096
+    # 0.0 = legacy trivially-separable blobs; > 0.0 = Gaussian class means
+    # with spacing chosen so the PAIRWISE Bayes error is ~this value — the
+    # quality-protocol generator where purity cannot saturate at 1.0
+    # (datasets.make_synthetic)
+    synthetic_overlap: float = 0.0
+    # Generate the synthetic stand-in as an OBJECT array of variable-size
+    # images (faithful to jpg-dir sources like flowers-17), forcing the
+    # host-PIL fork-pool + chunked-prefetch stream path instead of
+    # device-augment — used to benchmark that path without dataset files.
+    synthetic_object_array: bool = False
     # Run the train augmentation stack ON DEVICE (jax, batched, inside the
     # jitted epoch program) instead of per-image PIL in host workers. The
     # TPU-native default: raw uint8 data lives in HBM and the chip augments
@@ -365,6 +375,36 @@ def _from_reference(doc: Dict[str, Any]) -> Config:
         data=data,
         train=_build(TrainConfig, doc.get("train")),
     )
+
+
+_NESTED_FIELDS = {
+    "som": SOMConfig,
+    "vit": ViTConfig,
+    "ae": AEConfig,
+    "swin": SwinConfig,
+    "distillation": DistillConfig,
+    "optimizer": OptimizerConfig,
+    "train": TrainConfig,
+}
+
+
+def config_from_dict(d: Dict[str, Any]) -> Config:
+    """Inverse of ``Config.to_dict()`` — rebuild a validated Config.
+
+    Used to restore the hyperparameters embedded in checkpoints
+    (reference parity: ``save_hyperparameters`` makes
+    ``load_from_checkpoint`` self-contained,
+    ``/root/reference/models/vit_som.py:26``)."""
+    doc = dict(d)
+    data_doc = dict(doc.pop("data", None) or {})
+    aug = _build(AugmentConfig, data_doc.pop("augment", None))
+    data = dataclasses.replace(_build(DataConfig, data_doc), augment=aug)
+    kwargs: Dict[str, Any] = {"data": data}
+    for name, dc_type in _NESTED_FIELDS.items():
+        kwargs[name] = _build(dc_type, doc.pop(name, None))
+    top = {f.name for f in dataclasses.fields(Config)}
+    kwargs.update({k: _tupled(v) for k, v in doc.items() if k in top})
+    return Config(**kwargs).validate()
 
 
 def load_config(path: str, overrides: Optional[Dict[str, Any]] = None) -> Config:

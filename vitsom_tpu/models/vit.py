@@ -79,7 +79,9 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     qkv_bias: bool = True
-    attn_impl: str = "xla"  # "xla" | "pallas"
+    # one of config.py's valid_impls: "xla" | "pallas" | "hybrid" |
+    # "xla_bf16" | "xla_bf16s" (see ops/attention.multi_head_attention)
+    attn_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -68,7 +68,12 @@ def xla_attention_bf16_scores(
     scale = head_dim**-0.5
     qb = (q * scale).astype(jnp.bfloat16)
     kb = k.astype(jnp.bfloat16)
-    scores = jnp.einsum("bnhd,bmhd->bhnm", qb, kb)  # bf16 out, f32 MXU acc
+    # f32 accumulation requested EXPLICITLY (not just TPU MXU behavior — on
+    # CPU/GPU a bf16x bf16 dot may otherwise accumulate in bf16); the
+    # trailing convert to bf16 storage fuses into the dot's epilogue.
+    scores = jnp.einsum(
+        "bnhd,bmhd->bhnm", qb, kb, preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
     attn = jax.nn.softmax(scores, axis=-1)
     attn = checkpoint_name(attn, "attn_probs")
     out = jnp.einsum(
@@ -99,7 +104,11 @@ def xla_attention_bf16_store(
     scale = head_dim**-0.5
     qb = (q * scale).astype(jnp.bfloat16)
     kb = k.astype(jnp.bfloat16)
-    scores = jnp.einsum("bnhd,bmhd->bhnm", qb, kb)  # bf16 out, f32 MXU acc
+    # explicit f32 accumulation + fused bf16 store (see note in
+    # xla_attention_bf16_scores — portability, not a TPU-only assumption)
+    scores = jnp.einsum(
+        "bnhd,bmhd->bhnm", qb, kb, preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
     attn = checkpoint_name(_softmax_f32math_bf16store(scores), "attn_probs")
     out = jnp.einsum(
         "bhnm,bmhd->bnhd",
@@ -204,9 +213,11 @@ def multi_head_attention(
     """Dispatch over attention implementations.
 
     impl='pallas' uses the fused VMEM-resident kernel; impl='hybrid' pairs
-    the XLA forward with the Pallas backward (both fall back to XLA when the
-    attention matrix itself is requested, which only happens in offline
-    visualization paths).
+    the XLA forward with the Pallas backward. ``return_attn=True`` falls
+    back to the stock f32 :func:`xla_attention` path for EVERY non-xla impl
+    (pallas/hybrid/xla_bf16/xla_bf16s) — it only happens in offline
+    visualization, so logged attention maps are f32 even when training ran
+    bf16 score numerics (covered by ``test_xla_bf16_dispatch``).
     """
     if impl == "pallas" and not return_attn:
         from vitsom_tpu.ops.attention_pallas import fused_attention

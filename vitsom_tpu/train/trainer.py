@@ -161,6 +161,79 @@ def make_steps(cfg: Config, model, dataset_len: int, steps_per_epoch: int,
 
 
 # ---------------------------------------------------------------------------
+# checkpoint-embedded config (reference save_hyperparameters parity,
+# /root/reference/models/vit_som.py:26)
+# ---------------------------------------------------------------------------
+
+_CKPT_CONFIG_FILE = "vitsom_config.yaml"
+
+# Fields that define the parameter-tree structure: a mismatch here means the
+# checkpoint cannot be restored into this trainer's state and must be fatal.
+_STRUCTURAL_KEYS = ("model_arch", "som", "vit", "ae", "swin", "distillation")
+_STRUCTURAL_DATA_KEYS = ("num_classes", "num_channels", "input_size")
+
+
+def save_checkpoint_config(ckpt_path: str, cfg: Config) -> None:
+    """Write the full config into the checkpoint directory (after orbax has
+    finished, so the file does not race the checkpoint manifest)."""
+    import yaml
+
+    with open(os.path.join(ckpt_path, _CKPT_CONFIG_FILE), "w") as f:
+        yaml.safe_dump(cfg.to_dict(), f)
+
+
+def load_checkpoint_config(ckpt_path: str) -> Optional[Config]:
+    """Rebuild the Config embedded in a checkpoint (None for pre-embedding
+    checkpoints)."""
+    import yaml
+
+    from vitsom_tpu.config import config_from_dict
+
+    path = os.path.join(ckpt_path, _CKPT_CONFIG_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return config_from_dict(yaml.safe_load(f))
+
+
+def check_checkpoint_config(ckpt_path: str, cfg: Config) -> None:
+    """Fail loudly when a checkpoint's embedded config disagrees with the
+    trainer's on any structure-defining field; warn on soft differences
+    (schedules, host-loop knobs) that change behavior but not the tree."""
+    saved = load_checkpoint_config(ckpt_path)
+    if saved is None:
+        return
+    a, b = saved.to_dict(), cfg.to_dict()
+    hard = [
+        k for k in _STRUCTURAL_KEYS if a[k] != b[k]
+    ] + [
+        f"data.{k}"
+        for k in _STRUCTURAL_DATA_KEYS
+        if a["data"][k] != b["data"][k]
+    ]
+    if hard:
+        raise ValueError(
+            f"checkpoint at {ckpt_path} was saved with a different model "
+            f"config (mismatched: {', '.join(hard)}) — refusing to restore; "
+            f"evaluate it via its embedded config instead "
+            f"(eval_checkpoint.py --checkpoint {ckpt_path})"
+        )
+    soft = [
+        k
+        for k in ("total_epochs", "batch_size", "gamma", "optimizer")
+        if a[k] != b[k]
+    ]
+    if soft:
+        import warnings
+
+        warnings.warn(
+            f"checkpoint config differs on non-structural fields "
+            f"({', '.join(soft)}) — schedules (lr/temperature/gamma) derived "
+            f"from the current config will not match the training run"
+        )
+
+
+# ---------------------------------------------------------------------------
 # trainer
 # ---------------------------------------------------------------------------
 
@@ -368,12 +441,43 @@ class Trainer:
             key = jax.random.key(cfg.train.seed + 1000 * self.run_id)
             epoch_images = self.dm.steps_per_epoch * cfg.batch_size
             n_chips = max(1, self.mesh.devices.size)
+            # Deferred-pull mode: when nothing on the host needs per-dispatch
+            # values (no validation/best-checkpoint monitoring, no image
+            # logging, no profiling — i.e. the clustering benchmark
+            # protocol), enqueue EVERY dispatch back-to-back and pull all
+            # metrics in ONE batched transfer at the end. Each blocking
+            # to_host costs a tunnel RTT plus a full pipeline drain
+            # (dispatch -> device idle -> host -> dispatch); streaming the
+            # dispatches lets the device run the whole protocol gap-free.
+            # Per-epoch metric logs are unchanged (steps reconstructed from
+            # epoch indices); the per-epoch throughput tag becomes the
+            # run-level mean (per-dispatch walls don't exist un-fenced).
+            defer = (
+                cfg.train.profile_epoch < 0
+                and not (cfg.classification and self.dm.val is not None)
+                and not (
+                    cfg.train.log_images_every_n_epochs > 0
+                    and cfg.model_arch == "desom"
+                )
+            )
+            pending = []  # (start_epoch, n, mean_ms device tree)
+            dispatch_host_s = []  # host-side time per dispatch (compile shows
+            # up in the first; steady entries ~0 when deferred)
+            t_loop = time.time()
             epoch = 0
             while epoch < cfg.total_epochs:
                 n = min(e_disp, cfg.total_epochs - epoch)
                 epoch_fn = get_epoch_fn(n)
                 key, sub = jax.random.split(key)
                 t_e = time.time()
+                if defer:
+                    self.state, mean_ms, _ = epoch_fn(
+                        self.state, sub, images, labels
+                    )
+                    dispatch_host_s.append(time.time() - t_e)
+                    pending.append((epoch, n, mean_ms))
+                    epoch += n
+                    continue
                 with self._maybe_profile(epoch):
                     self.state, mean_ms, last_ms = epoch_fn(
                         self.state, sub, images, labels
@@ -382,8 +486,9 @@ class Trainer:
                 # ONE batched device->host pull per dispatch: each individual
                 # scalar fetch costs ~65ms RTT on tunneled TPU backends, so
                 # per-metric float() calls would dominate the epoch itself.
-                host = jax.device_get({"m": mean_ms, "step": self.state.step})
+                host = dist_lib.to_host({"m": mean_ms, "step": self.state.step})
                 dt_e = time.time() - t_e
+                dispatch_host_s.append(dt_e)
                 end_step = int(host["step"])
                 ips = n * epoch_images / dt_e / n_chips
                 for i in range(n):
@@ -398,7 +503,35 @@ class Trainer:
                 # epochs_per_dispatch == 1, the default)
                 self._maybe_log_images(epoch - 1, images, end_step)
                 best_val_acc = self._maybe_validate(epoch - 1, best_val_acc)
+            if pending:
+                # single fence + transfer for the whole run's metrics
+                host = dist_lib.to_host(
+                    {"m": [p[2] for p in pending], "step": self.state.step}
+                )
+                dt_loop = time.time() - t_loop
+                run_epochs = sum(p[1] for p in pending)
+                ips = run_epochs * epoch_images / dt_loop / n_chips
+                for (start_e, n, _), m in zip(pending, host["m"]):
+                    for i in range(n):
+                        scalars = {k: float(v[i]) for k, v in m.items()}
+                        scalars["perf/images_per_sec_per_chip"] = ips
+                        self.logger.log_scalars(
+                            scalars,
+                            step=(start_e + i + 1) * self.dm.steps_per_epoch,
+                        )
             jax.block_until_ready(self.state.params)
+            if os.environ.get("VITSOM_TIMING") and dispatch_host_s:
+                import sys as _sys
+
+                head = ", ".join(f"{t:.2f}" for t in dispatch_host_s[:4])
+                print(
+                    f"# fit timing: {len(dispatch_host_s)} dispatches, "
+                    f"host-side first4=[{head}]s "
+                    f"sum={sum(dispatch_host_s):.2f}s "
+                    f"loop_wall={time.time() - t_loop:.2f}s "
+                    f"(deferred={bool(pending)})",
+                    file=_sys.stderr,
+                )
         else:
             # stream mode: K augmented host batches per device dispatch — a
             # per-step dispatch costs a tunnel RTT (~90ms), which would cap
@@ -429,7 +562,7 @@ class Trainer:
                     steps_since_log += n
                     if steps_since_log >= step_in_epoch_log:
                         steps_since_log = 0
-                        host = jax.device_get(
+                        host = dist_lib.to_host(
                             {"m": accum[-1], "step": self.state.step}
                         )
                         self.logger.log_scalars(
@@ -438,10 +571,8 @@ class Trainer:
                         )
 
                 if accum:
-                    stacked = jax.device_get(
-                        jax.tree_util.tree_map(
-                            lambda *xs: jnp.concatenate(xs), *accum
-                        )
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: np.concatenate(xs), *dist_lib.to_host(accum)
                     )
                     mean_m = {k_: float(np.mean(v)) for k_, v in stacked.items()}
                     self._log_epoch(epoch, mean_m)
@@ -457,7 +588,7 @@ class Trainer:
             "peak_memory_gb": self.peak_memory_gb,
             "memory_metric": self.memory_metric,
             "best_val_accuracy": best_val_acc,
-            "final_step": int(self.state.step),
+            "final_step": int(dist_lib.to_host(self.state.step)),
         }
         mem_label = (
             "peak mem" if self.memory_metric == "peak_bytes_in_use"
@@ -473,8 +604,9 @@ class Trainer:
     # -- validation / eval ---------------------------------------------------
 
     def current_temperature(self):
+        # to_host first: eager math on a global (multi-host) step array fails
         return som.temperature_schedule(
-            self.state.step,
+            dist_lib.to_host(self.state.step),
             self.statics.total_iterations_float,
             self.cfg.som.t_max,
             self.cfg.som.t_min,
@@ -500,7 +632,7 @@ class Trainer:
             batch_stats=self.state.batch_stats,
         )
         acc = scalars["val/accuracy"]
-        self.logger.log_scalars(scalars, step=int(self.state.step))
+        self.logger.log_scalars(scalars, step=int(dist_lib.to_host(self.state.step)))
         if acc > best_val_acc:
             best_val_acc = acc
             self.save_checkpoint(tag="best")
@@ -550,11 +682,18 @@ class Trainer:
             payload["batch_stats"] = self.state.batch_stats
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
+        # Embed the full config so the checkpoint is self-contained
+        # (reference ``save_hyperparameters``, ``models/vit_som.py:26``):
+        # eval_checkpoint.py can rebuild the model from the checkpoint alone,
+        # and restore_checkpoint fails loudly on a config mismatch.
+        if dist_lib.is_primary():
+            save_checkpoint_config(path, self.cfg)
 
-    def restore_checkpoint(self, tag: str = "last"):
+    def restore_checkpoint(self, tag: str = "last", path: Optional[str] = None):
         import orbax.checkpoint as ocp
 
-        path = self.checkpoint_dir(tag)
+        path = path or self.checkpoint_dir(tag)
+        check_checkpoint_config(path, self.cfg)
         ckptr = ocp.StandardCheckpointer()
         target = {
             "params": self.state.params,
@@ -638,7 +777,7 @@ class Trainer:
         )
 
     def _log_epoch(self, epoch: int, mean_metrics):
-        host = jax.device_get({"m": mean_metrics, "step": self.state.step})
+        host = dist_lib.to_host({"m": mean_metrics, "step": self.state.step})
         scalars = {f"{k}": float(v) for k, v in host["m"].items()}
         self.logger.log_scalars(scalars, step=int(host["step"]))
 

@@ -19,7 +19,7 @@ DEFAULT_CACHE_DIR = os.path.join(
     ".jax_cache",
 )
 
-_enabled = False
+_enabled_path: str | None = None
 
 
 def maybe_enable(cache_dir: str | None = None) -> str | None:
@@ -27,11 +27,20 @@ def maybe_enable(cache_dir: str | None = None) -> str | None:
 
     ``cache_dir`` defaults to ``<repo>/.jax_cache``; set the env var
     ``VITSOM_NO_COMPILATION_CACHE=1`` to disable (e.g. to measure true
-    cold-start wall-clock).
+    cold-start wall-clock). Returns the directory actually in effect —
+    on repeat calls that is the FIRST enabled path (a later call with a
+    different ``cache_dir`` warns and keeps the original).
     """
-    global _enabled
-    if _enabled:
-        return cache_dir
+    global _enabled_path
+    if _enabled_path is not None:
+        if cache_dir is not None and cache_dir != _enabled_path:
+            import warnings
+
+            warnings.warn(
+                f"compilation cache already enabled at {_enabled_path}; "
+                f"ignoring new cache_dir {cache_dir}"
+            )
+        return _enabled_path
     if os.environ.get("VITSOM_NO_COMPILATION_CACHE"):
         return None
     import jax
@@ -41,5 +50,5 @@ def maybe_enable(cache_dir: str | None = None) -> str | None:
     jax.config.update("jax_compilation_cache_dir", path)
     # cache everything that takes >=1s to compile (every real program here)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    _enabled = True
+    _enabled_path = path
     return path

@@ -3,8 +3,13 @@
 The reference logs through Lightning's TensorBoardLogger
 (``/root/reference/experiments/benchmarking/train_vit_som.py:78``) with tags
 like ``train/recon_loss``, ``train/som_loss``, ``val/accuracy``, ``hp/gamma``.
-Same tags here so existing dashboards carry over. Falls back to an in-memory
-recorder when tensorboard isn't importable.
+Same tags here so existing dashboards carry over.
+
+Events are written by the FIRST-PARTY writer (``utils/tb_writer`` — spec-
+compatible event files, crc-checked round-trip tested): importing
+``torch.utils.tensorboard`` costs ~15-20 s of process start-up, which the
+r3 init-phase profile showed was the largest single init cost after host
+param init.
 """
 
 from __future__ import annotations
@@ -20,10 +25,9 @@ class MetricLogger:
         self._writer = None
         if log_dir and use_tensorboard:
             try:
-                from torch.utils.tensorboard import SummaryWriter
+                from vitsom_tpu.utils.tb_writer import EventFileWriter
 
-                os.makedirs(log_dir, exist_ok=True)
-                self._writer = SummaryWriter(log_dir=log_dir)
+                self._writer = EventFileWriter(log_dir)
             except Exception:
                 self._writer = None
 
