@@ -1,9 +1,10 @@
 """Multi-host scaffolding: slicing math + global-array assembly.
 
-``jax.distributed`` itself can't run in one test process, but everything the
-multi-host path depends on is pure math plus ``make_array_from_process_local
-_data`` — both exercised here (the latter degenerates to a plain device_put
-on a single-process 8-device mesh, which still validates shapes/shardings).
+Single-process unit tests for the pure pieces (span math,
+``make_array_from_process_local_data`` shapes/shardings). The REAL
+2-process ``jax.distributed`` execution — training through the Trainer and
+the sharded evaluators, with single-process parity — lives in
+``tests/test_multihost.py``.
 """
 
 import numpy as np

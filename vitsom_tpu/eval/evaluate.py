@@ -75,24 +75,83 @@ def _batched_device_eval(
         _EVAL_SCAN_CACHE[cache_key] = scan_fn
 
     outs = jax.device_get(scan_fn(params, images, labels, temperature, batch_stats))
+    # per-example outputs ([steps, bs, ...]) flatten and trim the pad;
+    # per-BATCH scalars ([steps] — the eval losses) pass through as-is
+    # (when pad > 0 the last entry includes the padded rows; validation
+    # drops the ragged tail, so the means it reports are pad-free)
     return {
-        k: np.asarray(v).reshape((steps * batch_size,) + v.shape[2:])[:n]
+        k: (
+            np.asarray(v).reshape((steps * batch_size,) + v.shape[2:])[:n]
+            if v.ndim >= 2 and v.shape[1] == batch_size
+            else np.asarray(v)
+        )
         for k, v in outs.items()
     }
 
 
-def _require_single_host(what: str) -> None:
-    """Evaluation is a single-host path (per-batch device_puts + host metric
-    math). Under multi-host training, run the final eval in a one-process
-    job on the saved checkpoint — failing loudly here beats silently scoring
-    only this host's shard of the data."""
-    import jax
+def _multihost() -> bool:
+    return jax.process_count() > 1
 
-    if jax.process_count() > 1:
-        raise NotImplementedError(
-            f"{what} is single-host; restore the checkpoint in a "
-            "single-process run for evaluation"
-        )
+
+def _to_process_local(tree):
+    """Replicated global arrays -> process-local host copies, so each
+    process can run its eval span as an ordinary local program (params /
+    batch_stats / temperature are replicated under the DP-only design)."""
+    from vitsom_tpu.parallel import distributed as dist
+
+    return dist.to_host(tree)
+
+
+def _local_eval_span(dm: DataModule, split: Split, train_mode: bool):
+    """This process's contiguous row span of a split, as transformed host
+    arrays (SURVEY.md:288-290: each process scores its span; metrics reduce
+    via a process gather). The split is truncated to a multiple of
+    process_count so spans are equal-sized (allgather requirement — global
+    drop_last semantics)."""
+    from vitsom_tpu.parallel import distributed as dist
+
+    pcount, pidx = jax.process_count(), jax.process_index()
+    n = dist.truncate_to_multiple(len(split), pcount)
+    span = dist.local_span(n, pidx, pcount)
+    local = Split(split.x[span], split.y[span], split.train_mode)
+    return dm._host_arrays(local, train_mode)
+
+
+def _multihost_span_eval(
+    eval_step, params, dm: DataModule, split: Split, train_mode: bool,
+    temperature, batch_stats, keys,
+):
+    """Sharded evaluation: every process scores its span of the split with
+    a local scanned program, then the small per-example outputs (BMU ids /
+    logits) allgather across processes. Returns (outputs_dict, y_true, dt);
+    outputs are GLOBAL (identical on every process)."""
+    from jax.experimental import multihost_utils
+
+    bs = dm.cfg.batch_size
+    x, y = _local_eval_span(dm, split, train_mode)
+    params = _to_process_local(params)
+    batch_stats = _to_process_local(batch_stats)
+    temperature = (
+        _to_process_local(temperature) if temperature is not None else None
+    )
+    images, labels = jnp.asarray(x), jnp.asarray(y)
+    # warm before timing (see evaluate_clustering)
+    _batched_device_eval(
+        eval_step, params, images, labels, bs, temperature, keys=keys,
+        batch_stats=batch_stats,
+    )
+    start = time.time()
+    res = _batched_device_eval(
+        eval_step, params, images, labels, bs, temperature, keys=keys,
+        batch_stats=batch_stats,
+    )
+    gathered = multihost_utils.process_allgather(
+        {**res, "label": np.asarray(y)}, tiled=True
+    )
+    dt = time.time() - start
+    gathered = {k: np.asarray(v) for k, v in gathered.items()}
+    y_true = gathered.pop("label")
+    return gathered, y_true, dt
 
 
 def evaluate_clustering(
@@ -105,8 +164,17 @@ def evaluate_clustering(
 ) -> Tuple[float, float, float]:
     """BMU-as-cluster purity/NMI over the training (concat) set, matching
     the reference's protocol (``train_vit_som.py:111-112``)."""
-    _require_single_host("evaluate_clustering")
     from vitsom_tpu.eval import metrics
+
+    if _multihost():
+        outs, y_true, dt = _multihost_span_eval(
+            eval_step, params, dm, dm.train, True, temperature, batch_stats,
+            keys=("bmu",),
+        )
+        p = metrics.purity(y_true, outs["bmu"])
+        n = metrics.nmi(y_true, outs["bmu"])
+        print(f"Purity: {p:.3f}, NMI: {n:.3f}, Inference Time: {dt:.3f}")
+        return p, n, dt
 
     bs = dm.cfg.batch_size
     split = dm.train
@@ -158,10 +226,24 @@ def evaluate_classification(
     batch_stats=None,
 ) -> Tuple[float, float, float, float, float]:
     """Accuracy/precision/recall/F1 on the test split (reference :93-128)."""
-    _require_single_host("evaluate_classification")
     from vitsom_tpu.eval import metrics
 
     split = split if split is not None else dm.test
+    if _multihost():
+        t = temperature if temperature is not None else jnp.asarray(1.0)
+        outs, y_true, dt = _multihost_span_eval(
+            eval_step, params, dm, split, False, t, batch_stats,
+            keys=("logits",),
+        )
+        m = metrics.classification_metrics(
+            y_true, np.argmax(outs["logits"], axis=-1)
+        )
+        print(
+            f"Accuracy: {m['accuracy']:.3f}, Precision: {m['precision']:.3f}, "
+            f"Recall: {m['recall']:.3f}, F1-score: {m['f1']:.3f}, "
+            f"Inference Time: {dt:.3f}"
+        )
+        return m["accuracy"], m["precision"], m["recall"], m["f1"], dt
     t = temperature if temperature is not None else jnp.asarray(1.0)
     # keep the ragged tail batch: splits smaller than one batch (small val
     # sets) must still evaluate — one extra jit specialization, once
@@ -225,9 +307,51 @@ def validation_metrics(
     ``val/som_loss`` / ``val/total_loss`` (``models/vit_som.py:119``).
     Losses stay on device; ONE device_get at the end (each host pull costs a
     tunnel round-trip)."""
-    _require_single_host("validation_metrics")
+    if _multihost():
+        from jax.experimental import multihost_utils
+
+        t = temperature if temperature is not None else jnp.asarray(1.0)
+        x, y = _local_eval_span(dm, split, False)
+        lp = _to_process_local(params)
+        lbs = _to_process_local(batch_stats)
+        lt = _to_process_local(t)
+        bs = dm.cfg.batch_size
+        images, labels = jnp.asarray(x), jnp.asarray(y.astype(np.int32))
+        res = _batched_device_eval(
+            eval_step, lp, images, labels, bs, lt, keys=("logits",),
+            batch_stats=lbs,
+        )
+        y_pred_local = np.argmax(res["logits"], axis=-1)
+        g = multihost_utils.process_allgather(
+            {"pred": y_pred_local, "true": np.asarray(y)}, tiled=True
+        )
+        return {
+            "val/accuracy": float(
+                np.mean(np.asarray(g["pred"]) == np.asarray(g["true"]))
+            )
+        }
     t = temperature if temperature is not None else jnp.asarray(1.0)
     drop_last = len(split) >= dm.cfg.batch_size
+    if isinstance(split.x, np.ndarray) and split.x.dtype != object:
+        # uniform source: ONE scanned program per epoch instead of a
+        # per-batch dispatch loop (a CIFAR-sized val split is ~78 batches =
+        # ~78 tunnel RTTs every epoch; the scan is one dispatch + one pull).
+        # Arrays are transformed/uploaded once and cached on the split.
+        bs = dm.cfg.batch_size
+        n_keep = (len(split) // bs) * bs if drop_last else len(split)
+        images, labels = dm.device_arrays(split, train_mode=False)
+        res = _batched_device_eval(
+            eval_step, params, images[:n_keep], labels[:n_keep], bs, t,
+            keys=("logits", "cls_loss", "som_loss", "recon_loss", "total_loss"),
+            batch_stats=batch_stats,
+        )
+        y_pred = np.argmax(res["logits"], axis=-1)
+        y_true = np.asarray(labels[:n_keep])
+        out = {"val/accuracy": float(np.mean(y_pred == y_true))}
+        for k, v in res.items():
+            if k.endswith("_loss"):
+                out[f"val/{k}"] = float(np.mean(v))
+        return out
     preds, trues, losses = [], [], []
     for batch in dm.eval_batches(split, drop_last=drop_last):
         o = eval_step(params, jax.device_put(batch), t, batch_stats)
@@ -253,7 +377,31 @@ def evaluate_kmeans(
     batch_stats=None,
 ) -> Tuple[float, float, float]:
     """k-means on latent embeddings (reference :54-91)."""
-    _require_single_host("evaluate_kmeans")
+    if _multihost():
+        from jax.experimental import multihost_utils
+
+        from sklearn.cluster import KMeans
+
+        from vitsom_tpu.eval import metrics
+
+        start = time.time()
+        t = temperature if temperature is not None else jnp.asarray(1.0)
+        outs, y_true, _ = _multihost_span_eval(
+            latent_fn, params, dm, dm.train, True, t, batch_stats,
+            keys=("latent",),
+        )
+        x = outs["latent"].reshape(len(y_true), -1)
+        k = n_clusters or len(np.unique(y_true))
+        km = KMeans(n_clusters=k, random_state=0, n_init=10)
+        y_pred = km.fit_predict(x)
+        p = metrics.purity(y_true, y_pred)
+        n = metrics.nmi(y_true, y_pred)
+        dt = time.time() - start
+        print(
+            f"Purity (KMeans): {p:.3f}, NMI (KMeans): {n:.3f}, "
+            f"Inference Time: {dt:.3f}"
+        )
+        return p, n, dt
     from sklearn.cluster import KMeans
 
     from vitsom_tpu.eval import metrics

@@ -61,6 +61,31 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def to_host(tree):
+    """``jax.device_get`` that also works on REPLICATED global arrays.
+
+    Under multi-host, metric scalars / params coming out of a global-mesh
+    jit are not fully addressable, and plain device_get (or ``float()`` /
+    ``int()``) raises. Every process holds the full value of a replicated
+    array in each addressable shard, so the local shard IS the value.
+    Sharded (non-replicated) leaves are rejected loudly — gather those with
+    ``jax.experimental.multihost_utils.process_allgather`` instead."""
+
+    def _local(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            shard = a.addressable_shards[0]
+            if shard.data.shape != a.shape:
+                raise ValueError(
+                    f"to_host expects replicated arrays; got shard shape "
+                    f"{shard.data.shape} of global {a.shape} — use "
+                    "process_allgather for batch-sharded values"
+                )
+            return shard.data
+        return a
+
+    return jax.device_get(jax.tree_util.tree_map(_local, tree))
+
+
 # ---------------------------------------------------------------------------
 # slicing math (pure, unit-tested)
 # ---------------------------------------------------------------------------
