@@ -92,14 +92,18 @@ def main(argv=None):
     )}
 
     states_dir = os.path.join(cfg.train.checkpoint_dir, cfg.model_arch)
+    timing = bool(os.environ.get("VITSOM_TIMING"))
     for run in range(n_runs):
         print(f"Starting run {run + 1} for {dataset_name}...")
         start = time.time()
         clear_directory(states_dir)
 
         dm = build_datamodule(cfg)
+        t_dm = time.time()
         trainer = Trainer(cfg, dm=dm, run_id=run)
+        t_init = time.time()
         fit_result = trainer.fit()
+        t_fit = time.time()
         run_duration = time.time() - start
         print(f"Run {run + 1} duration: {run_duration:.2f} seconds")
 
@@ -107,13 +111,22 @@ def main(argv=None):
             metrics = trainer.evaluate()
             for k in ("accuracy", "precision", "recall", "f1"):
                 all_metrics[k].append(metrics[k])
+            t_ckpt = t_fit
         else:
             # clustering protocol: save last, reload, evaluate on train set
             trainer.save_checkpoint(tag="last")
             trainer.restore_checkpoint(tag="last")
+            t_ckpt = time.time()
             metrics = trainer.evaluate()
             all_metrics["purity"].append(metrics["purity"])
             all_metrics["nmi"].append(metrics["nmi"])
+        if timing:
+            print(
+                f"# run phases: dm={t_dm - start:.1f}s init={t_init - t_dm:.1f}s "
+                f"fit={t_fit - t_init:.1f}s ckpt={t_ckpt - t_fit:.1f}s "
+                f"eval={time.time() - t_ckpt:.1f}s",
+                file=sys.stderr,
+            )
 
         all_metrics["run_duration"].append(run_duration)
         all_metrics["inference_time"].append(metrics["inference_time"])

@@ -43,6 +43,33 @@ def test_synthetic_deterministic():
     np.testing.assert_array_equal(a.train_y, b.train_y)
 
 
+def test_synthetic_overlap_mode():
+    """synthetic_overlap > 0 produces genuinely confusable classes: even the
+    label-supervised nearest-centroid classifier misclassifies a tunable
+    fraction, while the legacy generator stays trivially separable."""
+    import dataclasses
+
+    base = cluster_cfg().data
+    easy = make_synthetic(dataclasses.replace(base, synthetic_size=2000))
+    hard = make_synthetic(
+        dataclasses.replace(base, synthetic_size=2000, synthetic_overlap=0.1)
+    )
+
+    def nearest_centroid_error(splits):
+        x = splits.train_x.reshape(len(splits.train_y), -1).astype(np.float32)
+        y = splits.train_y
+        ks = np.unique(y)
+        cents = np.stack([x[y == k_].mean(axis=0) for k_ in ks])
+        d = ((x[:, None, :] - cents[None]) ** 2).sum(-1)
+        return float(np.mean(ks[np.argmin(d, axis=1)] != y))
+
+    assert nearest_centroid_error(easy) < 0.01
+    err = nearest_centroid_error(hard)
+    # pairwise Bayes error 0.1 over 10 classes: multi-class error lands
+    # well inside (0.05, 0.5) — far from both separable and random
+    assert 0.05 < err < 0.5, err
+
+
 def test_clustering_split_concat():
     cfg = cluster_cfg(500)
     dm = build_datamodule(cfg)

@@ -344,15 +344,64 @@ def make_synthetic(cfg: DataConfig, num_classes_hint: int = 10) -> ArraySplits:
     h = w = cfg.input_size
     c = cfg.num_channels
 
-    def gen(n):
-        y = rng.integers(0, k, size=n)
-        # per-class template + noise, in [0, 255]
-        templates = rng.uniform(0, 1, size=(k, h, w, c)).astype(np.float32)
-        x = templates[y] * 0.6 + rng.uniform(0, 1, size=(n, h, w, c)).astype(np.float32) * 0.4
-        return (x * 255).astype(np.uint8), y.astype(np.int64)
+    overlap = getattr(cfg, "synthetic_overlap", 0.0)
+    if overlap > 0.0:
+        # Overlapping-class mode (tunable Bayes error): class means are
+        # mu_i = 0.5 + delta * u_i with u_i ~ random unit images (nearly
+        # orthogonal in high dim), per-pixel noise sigma * N(0, 1). Along
+        # the (mu_i - mu_j) axis the two classes are 1-D Gaussians at
+        # distance delta*sqrt(2) with std sigma, so the pairwise Bayes
+        # error is Phi_c(delta*sqrt(2) / (2*sigma)); delta is solved from
+        # the requested error. Purity CANNOT reach 1.0 here — the quality
+        # protocol's non-saturating regime.
+        from scipy.stats import norm as _norm
+
+        sigma = 0.1  # ~25/255 per pixel: far above uint8 quantization noise
+        delta = np.sqrt(2.0) * sigma * float(_norm.isf(overlap))
+        d = h * w * c
+        dirs = rng.normal(size=(k, d)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        means = 0.5 + delta * dirs.reshape(k, h, w, c)
+
+        def gen(n):
+            y = rng.integers(0, k, size=n)
+            x = means[y] + sigma * rng.normal(size=(n, h, w, c)).astype(
+                np.float32
+            )
+            return (np.clip(x, 0, 1) * 255).astype(np.uint8), y.astype(np.int64)
+
+    else:
+
+        def gen(n):
+            y = rng.integers(0, k, size=n)
+            # per-class template + noise, in [0, 255]
+            templates = rng.uniform(0, 1, size=(k, h, w, c)).astype(np.float32)
+            x = (
+                templates[y] * 0.6
+                + rng.uniform(0, 1, size=(n, h, w, c)).astype(np.float32) * 0.4
+            )
+            return (x * 255).astype(np.uint8), y.astype(np.int64)
 
     tx, ty = gen(n_train)
     vx, vy = gen(n_test)
+    if getattr(cfg, "synthetic_object_array", False):
+        # variable-size object arrays (faithful stand-in for jpg-dir
+        # sources): re-render each fixed-size image at a random resolution
+        # so the pipeline must take the host-PIL stream path
+        def to_object(x):
+            from PIL import Image
+
+            out = np.empty(len(x), dtype=object)
+            for i, img in enumerate(x):
+                hh = int(rng.integers(400, 700))
+                ww = int(rng.integers(400, 700))
+                arr = img if img.shape[-1] != 1 else np.repeat(img, 3, -1)
+                out[i] = np.asarray(
+                    Image.fromarray(arr).resize((ww, hh), Image.BILINEAR)
+                )
+            return out
+
+        return ArraySplits(to_object(tx), ty, to_object(vx), vy)
     return ArraySplits(tx, ty, vx, vy)
 
 

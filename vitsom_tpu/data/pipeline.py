@@ -95,6 +95,21 @@ class DataModule:
             and self.train.x.ndim == 4
         )
 
+    @property
+    def uint8_scale_static(self) -> bool:
+        """True when the static train transform is exactly uint8 -> /255
+        (the mnist-family ToTensor path): the dataset can live in HBM as
+        RAW uint8 — 4x less HBM traffic per epoch gather — with the /255
+        normalize fused into the compiled epoch (bit-identical floats:
+        both paths compute float32(x) / 255.0)."""
+        return (
+            self.is_static
+            and self.cfg.data.dataset in ("mnist", "fmnist", "usps")
+            and isinstance(self.train.x, np.ndarray)
+            and self.train.x.dtype == np.uint8
+            and self.train.x.ndim == 4
+        )
+
     def raw_device_arrays(self, split: Split, mesh=None):
         """Move the UNtransformed uint8 split to device (batch-sharded under
         multi-host, same span policy as device_arrays)."""

@@ -129,7 +129,11 @@ def make_steps(cfg: Config, model, dataset_len: int, steps_per_epoch: int,
     with jax.default_device(_host_cpu_device()):
         x = example_input(cfg, batch=2)
         init_key = jax.random.fold_in(jax.random.key(cfg.train.seed), run_id)
-        variables = model.init(init_key, x)
+        # jit the whole init: un-jitted Flax init runs hundreds of eager
+        # host ops, each individually compiled (~10-20 s of CPU compiles
+        # per process); one jitted program is persistent-cache-hot across
+        # processes
+        variables = jax.jit(model.init)(init_key, x)
     params = variables["params"]
     batch_stats = variables.get("batch_stats")  # BatchNorm models (mobile_vit)
     tx = optim.make_optimizer(cfg, params, lr_sched)
@@ -244,6 +248,13 @@ class Trainer:
         # env vars are set (no-op single-process); after this jax.devices()
         # is the GLOBAL device list so the Mesh spans hosts (SURVEY §2c)
         dist_lib.maybe_initialize()
+        _t0 = time.time()
+        _marks = [] if os.environ.get("VITSOM_TIMING") else None
+
+        def _mark(label):
+            if _marks is not None:
+                _marks.append((label, time.time() - _t0))
+
         self.cfg = cfg
         self.dm = dm or build_datamodule(cfg)
         self.run_id = run_id
@@ -260,6 +271,7 @@ class Trainer:
         # kernel per batch shard, pmean'd loss) — see
         # som_pallas.make_fused_som_sharded; no fallback to the XLA path.
         self.model = build_model(cfg)
+        _mark("mesh+model")
         (
             self._train_step,
             self._eval_step,
@@ -276,8 +288,10 @@ class Trainer:
         # optimizer state is built on the host too (zeros/moments of the
         # host-resident init params), then everything crosses the tunnel in
         # one bulk replicated put — no init-time device compiles at all
+        _mark("make_steps(host init)")
         with jax.default_device(_host_cpu_device()):
-            host_opt_state = self.tx.init(init_params)
+            host_opt_state = jax.jit(self.tx.init)(init_params)
+        _mark("opt_init(host)")
         params = mesh_lib.put_replicated(init_params, self.mesh)
         batch_stats = (
             mesh_lib.put_replicated(init_batch_stats, self.mesh)
@@ -286,14 +300,23 @@ class Trainer:
         )
         opt_state = mesh_lib.put_replicated(host_opt_state, self.mesh)
         self.state = steps_lib.TrainState(
-            step=jnp.asarray(0, jnp.int32),
+            # every leaf (scalar step included) on the canonical sharding:
+            # a mismatched leaf makes the SECOND dispatch of every jit here
+            # silently recompile (see mesh.canonical_state_sharding)
+            step=mesh_lib.put_replicated(jnp.asarray(0, jnp.int32), self.mesh),
             params=params,
             opt_state=opt_state,
             batch_stats=batch_stats,
         )
+        self._state_sharding = mesh_lib.canonical_state_sharding(self.mesh)
+        _mark("state_put")
 
         donate = (0,) if cfg.train.donate_state else ()
-        self._jit_step = jax.jit(self._wrap_sharded(self._train_step), donate_argnums=donate)
+        self._jit_step = jax.jit(
+            self._wrap_sharded(self._train_step),
+            donate_argnums=donate,
+            out_shardings=(self._state_sharding, self._state_sharding),
+        )
         self._jit_eval = jax.jit(self._eval_step)
         self._jit_epoch = None  # built lazily in scan mode
         self._jit_decode_images = None  # built lazily by _maybe_log_images
@@ -310,6 +333,14 @@ class Trainer:
         self.history: Dict[str, list] = {}
         self.peak_memory_gb = 0.0
         self.memory_metric = "unavailable"
+        if _marks is not None:
+            import sys as _sys
+
+            print(
+                "# init timing: "
+                + " ".join(f"{k}={v:.1f}s" for k, v in _marks),
+                file=_sys.stderr,
+            )
 
     # -- sharding wrapper --------------------------------------------------
 
@@ -388,7 +419,8 @@ class Trainer:
             state, (means, lasts) = jax.lax.scan(outer, state, ekeys)
             return state, means, lasts
 
-        return jax.jit(epoch_fn, donate_argnums=(0,))
+        ss = self._state_sharding
+        return jax.jit(epoch_fn, donate_argnums=(0,), out_shardings=(ss, ss, ss))
 
     def _build_chunk_fn(self, k: int):
         """Jitted K-step scan over a stacked [K, bs, ...] batch chunk
@@ -404,7 +436,12 @@ class Trainer:
 
             return jax.lax.scan(body, state, batches)
 
-        return jax.jit(chunk_fn, donate_argnums=(0,) if self.cfg.train.donate_state else ())
+        ss = self._state_sharding
+        return jax.jit(
+            chunk_fn,
+            donate_argnums=(0,) if self.cfg.train.donate_state else (),
+            out_shardings=(ss, ss),
+        )
 
     # -- public API ----------------------------------------------------------
 
@@ -414,7 +451,17 @@ class Trainer:
         best_val_acc = -1.0
 
         if self.dm.is_static or self.dm.use_device_augment:
-            if self.dm.is_static:
+            if self.dm.uint8_scale_static:
+                # raw uint8 dataset in HBM; /255 fused into the epoch scan
+                # (4x less gather traffic than the f32 copy; bit-identical)
+                images, labels = self.dm.raw_device_arrays(
+                    self.dm.train, mesh=self.mesh
+                )
+
+                def aug_fn(key, batch):
+                    return batch.astype(jnp.float32) / 255.0
+
+            elif self.dm.is_static:
                 images, labels = self.dm.device_arrays(
                     self.dm.train, train_mode=True, mesh=self.mesh
                 )
@@ -474,6 +521,13 @@ class Trainer:
                     self.state, mean_ms, _ = epoch_fn(
                         self.state, sub, images, labels
                     )
+                    # FENCE each dispatch (one ~65 ms scalar pull): measured
+                    # on the tunneled backend, un-fenced back-to-back
+                    # dispatches run ~3x slower per epoch (2.99 s vs 1.01 s
+                    # same window) — the stream scheduler degrades with
+                    # queued executions. Metrics stay deferred to one
+                    # end-of-run pull.
+                    jax.device_get(self.state.step)
                     dispatch_host_s.append(time.time() - t_e)
                     pending.append((epoch, n, mean_ms))
                     epoch += n
