@@ -1,0 +1,168 @@
+"""Family scoreboard runner (VERDICT r3 #3): one honest end-to-end TPU
+wall-clock per published reference wall-clock row.
+
+Runs each family's benchmark config through the real CLI harness
+(``experiments/benchmarking/train.py``) in a FRESH process (tunneled
+backends stall in long-lived compile-heavy processes — CLAUDE.md), with
+synthetic stand-in data (zero-egress image), 1 run each, reference epochs
+and batch sizes. Aggregates ``experiments/results/family_bench_r3.json``
+with vs-baseline ratios against the reference rows
+(``/root/reference/README.md:87-95``).
+
+Usage: python experiments/run_family_bench.py [model ...]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+OUT_DIR = os.path.join(REPO, "experiments", "results", "family_bench_r3")
+
+# reference wall-clock baselines (seconds), /root/reference/README.md:87-95
+ROWS = {
+    "vit_som_cluster_24": {
+        "config": "configs/vit_som/vit_som_mnist.yaml",
+        "baseline_s": 2432.052,
+        "baseline_infer_s": 1.60,
+        "overrides": [
+            "som.map_size=[24,24]",
+            "data.synthetic_size=70000",
+            "train.compute_dtype=bfloat16",
+            "train.attn_impl=xla_bf16",
+            "train.remat_blocks=false",
+            "train.epochs_per_dispatch=10",
+        ],
+    },
+    "vit_som_cluster_40": {
+        "config": "configs/vit_som/vit_som_mnist.yaml",
+        "baseline_s": 2432.05,
+        "baseline_infer_s": 1.61,
+        "overrides": [
+            "data.synthetic_size=70000",
+            "train.compute_dtype=bfloat16",
+            "train.attn_impl=xla_bf16",
+            "train.remat_blocks=false",
+            "train.epochs_per_dispatch=10",
+        ],
+    },
+    "desom": {
+        "config": "configs/desom/desom_mnist.yaml",
+        "baseline_s": 188.590,
+        "baseline_infer_s": 0.697,
+        "overrides": [
+            "data.synthetic_size=70000",
+            "train.epochs_per_dispatch=10",
+        ],
+    },
+    "vit_som_cls": {
+        "config": "configs/vit_som/vit_som_cifar-10.yaml",
+        "baseline_s": 2923.095,
+        "baseline_infer_s": 8.471,
+        "overrides": [
+            "data.synthetic_size=50000",
+            "train.compute_dtype=bfloat16",
+            "train.attn_impl=xla_bf16",
+        ],
+    },
+    "vit": {
+        "config": "configs/vit/vit_cifar-10.yaml",
+        "baseline_s": 2816.594,
+        "overrides": [
+            "data.synthetic_size=50000",
+            "train.compute_dtype=bfloat16",
+            "train.attn_impl=xla_bf16",
+        ],
+    },
+    "swin": {
+        "config": "configs/swin/swin_cifar-10.yaml",
+        "baseline_s": 2935.20,
+        "overrides": [
+            "data.synthetic_size=50000",
+            "train.compute_dtype=bfloat16",
+        ],
+    },
+    "deit": {
+        "config": "configs/deit/deit_cifar-10.yaml",
+        "baseline_s": 4135.05,
+        "overrides": [
+            "data.synthetic_size=50000",
+            "train.compute_dtype=bfloat16",
+        ],
+    },
+    "mobile_vit": {
+        "config": "configs/mobile_vit/mobile_vit_cifar-10.yaml",
+        "baseline_s": 3162.33,
+        "overrides": [
+            "data.synthetic_size=50000",
+            "train.compute_dtype=bfloat16",
+        ],
+    },
+}
+
+
+def run_one(name: str, spec: dict) -> dict:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    out_json = os.path.join(OUT_DIR, f"{name}.json")
+    cmd = [
+        sys.executable,
+        "experiments/benchmarking/train.py",
+        "--config", spec["config"],
+        "--synthetic", "--runs", "1",
+        "--json-out", out_json,
+    ]
+    for ov in spec.get("overrides", []):
+        cmd += ["--override", ov]
+    env = dict(os.environ, VITSOM_TIMING="1")
+    t0 = time.time()
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True,
+        timeout=4 * 3600,
+    )
+    log_path = os.path.join(OUT_DIR, f"{name}.log")
+    with open(log_path, "w") as f:
+        f.write(proc.stdout + "\n--- stderr ---\n" + proc.stderr)
+    if proc.returncode != 0:
+        return {"name": name, "error": f"rc={proc.returncode}", "log": log_path}
+    with open(out_json) as f:
+        res = json.load(f)
+    row = {
+        "name": name,
+        "config": spec["config"],
+        "run_duration_s": res["run_duration"][0],
+        "vs_baseline": spec["baseline_s"] / res["run_duration"][0],
+        "inference_time_s": res["inference_time"][0],
+        "images_per_sec_per_chip": res["images_per_sec_per_chip"][0],
+        "wrapper_wall_s": time.time() - t0,
+    }
+    if "baseline_infer_s" in spec:
+        row["inference_vs_baseline"] = (
+            spec["baseline_infer_s"] / res["inference_time"][0]
+        )
+    for k in ("purity", "nmi", "accuracy"):
+        if res.get(k):
+            row[k] = res[k][0]
+    return row
+
+
+def main():
+    names = sys.argv[1:] or list(ROWS)
+    summary_path = os.path.join(OUT_DIR, "summary.json")
+    summary = {}
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            summary = json.load(f)
+    for name in names:
+        print(f"=== {name} ===", flush=True)
+        row = run_one(name, ROWS[name])
+        print(json.dumps(row), flush=True)
+        summary[name] = row
+        os.makedirs(OUT_DIR, exist_ok=True)
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

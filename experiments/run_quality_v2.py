@@ -1,0 +1,77 @@
+"""Attention score-dtype quality study v2 — NON-SATURATING synthetic task.
+
+VERDICT r2 #7: the original study ran on trivially-separable blobs where
+purity pins at 1.0 (a plumbing check, not a recipe check). v2 uses the
+overlapping-class generator (``data.synthetic_overlap`` — Gaussian class
+means with tunable pairwise Bayes error, ``datasets.make_synthetic``) so
+purity/NMI have headroom to move, then re-runs the 4-seed x
+{f32 ctrl, xla_bf16, xla_bf16s} protocol on the real TPU.
+
+Protocol (matches v1, ``experiments/results/attn_dtype_quality/README.md``):
+ViT-SOM 24x24 clustering, 40 epochs, synthetic_size 4096, bf16 compute,
+fused SOM kernel, seeds 0-3. Each run is a fresh process (tunnel compile
+stalls in long-lived processes).
+
+Usage: python experiments/run_quality_v2.py [impl_seed ...]
+  e.g. python experiments/run_quality_v2.py ctrl_0 xla_bf16_2
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+OUT_DIR = os.path.join(REPO, "experiments", "results", "attn_dtype_quality_v2")
+
+IMPLS = {"ctrl": "xla", "xla_bf16": "xla_bf16", "xla_bf16s": "xla_bf16s"}
+SEEDS = (0, 1, 2, 3)
+OVERLAP = 0.1  # target pairwise Bayes error
+
+
+def run_one(impl: str, seed: int) -> dict:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    out_json = os.path.join(OUT_DIR, f"{impl}_s{seed}.json")
+    cmd = [
+        sys.executable, "experiments/benchmarking/train.py",
+        "--config", "configs/vit_som/vit_som_mnist.yaml",
+        "--synthetic", "--epochs", "40", "--runs", "1",
+        "--override", "som.map_size=[24,24]",
+        "--override", f"data.synthetic_overlap={OVERLAP}",
+        "--override", "train.use_pallas_som=true",
+        "--override", "train.compute_dtype=bfloat16",
+        "--override", "train.remat_blocks=false",
+        "--override", "train.epochs_per_dispatch=10",
+        "--override", f"train.seed={seed}",
+        "--override", f"train.attn_impl={IMPLS[impl]}",
+        "--json-out", out_json,
+    ]
+    proc = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=3600
+    )
+    if proc.returncode != 0:
+        print(proc.stdout[-2000:], proc.stderr[-2000:])
+        return {"impl": impl, "seed": seed, "error": proc.returncode}
+    with open(out_json) as f:
+        res = json.load(f)
+    row = {"impl": impl, "seed": seed,
+           "purity": res["purity"][0], "nmi": res["nmi"][0]}
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    if len(sys.argv) > 1:
+        jobs = []
+        for spec in sys.argv[1:]:
+            impl, _, seed = spec.rpartition("_")
+            jobs.append((impl, int(seed)))
+    else:
+        jobs = [(impl, s) for impl in IMPLS for s in SEEDS]
+    rows = [run_one(impl, s) for impl, s in jobs]
+    with open(os.path.join(OUT_DIR, "summary.json"), "w") as f:
+        json.dump(rows, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
