@@ -1,0 +1,119 @@
+"""A/B the epoch-program variants behind the full-protocol gap.
+
+The 500-epoch protocol (uint8 HBM dataset, 25-epoch dispatches) runs
+0.955 s/epoch steady while bench.py (f32 dataset, 1-epoch dispatches)
+runs 0.797 s/epoch — a 0.16 s/epoch gap worth ~80 s across the protocol.
+This script times one axis at a time in a fresh process:
+
+    python experiments/ab_dispatch.py u8|f32 N_EPOCHS_PER_DISPATCH
+
+Prints one JSON line with the steady per-epoch seconds.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from vitsom_tpu.utils.compilation_cache import maybe_enable
+
+    maybe_enable()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vitsom_tpu.config import load_config
+    from vitsom_tpu.data.pipeline import build_datamodule
+    from vitsom_tpu.train.trainer import Trainer
+
+    path = sys.argv[1] if len(sys.argv) > 1 else "f32"
+    n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+
+    cfg = load_config(
+        "configs/vit_som/vit_som_mnist.yaml",
+        overrides={
+            "som.map_size": [24, 24],
+            "total_epochs": 500,
+            "data.allow_synthetic": True,
+            "data.synthetic_size": 70000,
+            "train.n_runs": 1,
+            "train.use_pallas_som": True,
+            "train.compute_dtype": "bfloat16",
+            "train.attn_impl": "xla_bf16",
+            "train.remat_blocks": False,
+        },
+    )
+    dm = build_datamodule(cfg)
+    trainer = Trainer(cfg, dm=dm, run_id=0)
+
+    if path == "u8":
+        assert dm.uint8_scale_static
+        images, labels = dm.raw_device_arrays(dm.train, mesh=trainer.mesh)
+
+        def aug_fn(key, batch):
+            return batch.astype(jnp.float32) / 255.0
+
+        epoch_fn = trainer._build_epoch_fn(augment_fn=aug_fn, n_epochs=n_epochs)
+    else:
+        images, labels = dm.device_arrays(dm.train, train_mode=True)
+        epoch_fn = trainer._build_epoch_fn(n_epochs=n_epochs)
+
+    key = jax.random.key(0)
+    state = trainer.state
+
+    def run(state, key):
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        state, _, _ = epoch_fn(state, sub, images, labels)
+        jax.device_get(state.step)
+        return state, key, time.time() - t0
+
+    # LONG warmup: this backend has a slow tail beyond the documented 2-3
+    # slow executions (measured: single-epoch dispatches plateau at 1.01 s
+    # for ~4 executions, then drop to 0.84 s) — warm until 3 consecutive
+    # dispatches sit within 3% of the running min, with a floor of 6.
+    times = []
+    n_warm = max(6, 16 // n_epochs + 3)
+    for i in range(n_warm):
+        state, key, dt = run(state, key)
+        times.append(dt)
+        print(f"# dispatch {i}: {dt:.2f}s", file=sys.stderr, flush=True)
+        if len(times) >= 6 and all(
+            t < 1.03 * min(times) for t in times[-3:]
+        ):
+            break
+    timed = []
+    for _ in range(3):
+        state, key, dt = run(state, key)
+        timed.append(dt)
+    best = min(timed)
+    # AGGREGATE window: individually-fenced dispatch timings hide
+    # host/tunnel overlap (bench.py's 3-epoch aggregate measured 0.847
+    # s/epoch while the same program timed per-dispatch reads 1.01) — time
+    # a back-to-back block of dispatches as one wall-clock window too.
+    n_agg = max(1, 12 // n_epochs)
+    t0 = time.time()
+    for _ in range(n_agg):
+        state, key, _ = run(state, key)
+    agg = (time.time() - t0) / (n_agg * n_epochs)
+    print(
+        json.dumps(
+            {
+                "path": path,
+                "n_epochs": n_epochs,
+                "no_out_shardings": bool(os.environ.get("VITSOM_NO_OUT_SHARDINGS")),
+                "steady_dispatch_s": round(sum(timed) / len(timed), 3),
+                "best_dispatch_s": round(best, 3),
+                "steady_epoch_s": round(sum(timed) / len(timed) / n_epochs, 4),
+                "aggregate_epoch_s": round(agg, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=500)
     ap.add_argument("--attempts", type=int, default=1)
     ap.add_argument("--edisp", type=int, default=10)
+    ap.add_argument("--fence", type=int, default=1,
+                    help="train.fence_every_n_dispatches")
     ap.add_argument("--tag", default="r3")
     ap.add_argument("--max-wait", type=int, default=1800,
                     help="max seconds to wait for a healthy window")
@@ -109,6 +111,7 @@ def main():
             "--override", "train.attn_impl=xla_bf16",
             "--override", "train.remat_blocks=false",
             "--override", f"train.epochs_per_dispatch={args.edisp}",
+            "--override", f"train.fence_every_n_dispatches={args.fence}",
             "--json-out", out_json,
         ]
         t0 = time.time()

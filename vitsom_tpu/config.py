@@ -198,6 +198,13 @@ class DataConfig:
     # host path for variable-size sources (jpg dirs) that can't form a
     # uniform uint8 array.
     device_augment: bool = True
+    # Static mnist-family datasets: ship the RAW uint8 array across the
+    # host->device link (4x smaller transfer) and materialize the /255 f32
+    # copy ON DEVICE once per run. false = normalize on the host and ship
+    # the f32 copy (A/B escape hatch). Epoch gathers read f32 either way:
+    # u8-resident gathers measured ~0.15 s/epoch slower (TPU random-row
+    # gathers on 8-bit data lose more than the 4x traffic saving buys).
+    uint8_hbm: bool = True
     augment: AugmentConfig = field(default_factory=AugmentConfig)
 
     @property
@@ -238,6 +245,12 @@ class TrainConfig:
     # returns [E]-stacked means); validation/image logging move to dispatch
     # boundaries when E > 1.
     epochs_per_dispatch: int = 1
+    # deferred-pull mode: fence (one ~65 ms scalar pull) every Nth dispatch.
+    # 1 = fence each dispatch (safest; un-fenced back-to-back dispatches have
+    # measured ~3x slower per-epoch — the tunnel's stream scheduler degrades
+    # with deep execution queues). Raising this amortizes the fence RTT while
+    # keeping the queue bounded at N.
+    fence_every_n_dispatches: int = 1
     # unroll factor for the step scan (XLA can overlap/fuse across unrolled
     # iterations at the cost of code size)
     scan_unroll: int = 1

@@ -104,6 +104,7 @@ class DataModule:
         both paths compute float32(x) / 255.0)."""
         return (
             self.is_static
+            and self.cfg.data.uint8_hbm
             and self.cfg.data.dataset in ("mnist", "fmnist", "usps")
             and isinstance(self.train.x, np.ndarray)
             and self.train.x.dtype == np.uint8

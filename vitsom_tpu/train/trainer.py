@@ -419,6 +419,10 @@ class Trainer:
             state, (means, lasts) = jax.lax.scan(outer, state, ekeys)
             return state, means, lasts
 
+        if os.environ.get("VITSOM_NO_OUT_SHARDINGS"):
+            # A/B escape hatch (experiments/ab_dispatch.py): out_shardings
+            # pins the cache key but may change XLA's output buffer choices
+            return jax.jit(epoch_fn, donate_argnums=(0,))
         ss = self._state_sharding
         return jax.jit(epoch_fn, donate_argnums=(0,), out_shardings=(ss, ss, ss))
 
@@ -452,15 +456,21 @@ class Trainer:
 
         if self.dm.is_static or self.dm.use_device_augment:
             if self.dm.uint8_scale_static:
-                # raw uint8 dataset in HBM; /255 fused into the epoch scan
-                # (4x less gather traffic than the f32 copy; bit-identical)
-                images, labels = self.dm.raw_device_arrays(
+                # raw uint8 across the tunnel (4x smaller host->device
+                # transfer), then ONE device-side /255 materialization into
+                # an f32 HBM buffer for the epoch gathers. Keeping the
+                # dataset u8-resident and fusing /255 into the scan was
+                # measured ~0.15 s/epoch SLOWER (u8 1.00 vs f32 0.85
+                # aggregate, same window): TPU random-row gathers on 8-bit
+                # data lose more than the 4x traffic saving buys.
+                images_u8, labels = self.dm.raw_device_arrays(
                     self.dm.train, mesh=self.mesh
                 )
-
-                def aug_fn(key, batch):
-                    return batch.astype(jnp.float32) / 255.0
-
+                images = jax.jit(
+                    lambda x: x.astype(jnp.float32) / 255.0
+                )(images_u8)
+                images_u8 = None
+                aug_fn = None
             elif self.dm.is_static:
                 images, labels = self.dm.device_arrays(
                     self.dm.train, train_mode=True, mesh=self.mesh
@@ -521,13 +531,18 @@ class Trainer:
                     self.state, mean_ms, _ = epoch_fn(
                         self.state, sub, images, labels
                     )
-                    # FENCE each dispatch (one ~65 ms scalar pull): measured
-                    # on the tunneled backend, un-fenced back-to-back
-                    # dispatches run ~3x slower per epoch (2.99 s vs 1.01 s
-                    # same window) — the stream scheduler degrades with
-                    # queued executions. Metrics stay deferred to one
-                    # end-of-run pull.
-                    jax.device_get(self.state.step)
+                    # FENCE (one ~65 ms scalar pull) every Nth dispatch:
+                    # measured on the tunneled backend, un-fenced
+                    # back-to-back dispatches run ~3x slower per epoch
+                    # (2.99 s vs 1.01 s same window) — the stream scheduler
+                    # degrades with deep execution queues. N > 1 amortizes
+                    # the RTT while keeping the queue bounded. Metrics stay
+                    # deferred to one end-of-run pull.
+                    if (
+                        len(pending) % max(1, cfg.train.fence_every_n_dispatches)
+                        == 0
+                    ):
+                        jax.device_get(self.state.step)
                     dispatch_host_s.append(time.time() - t_e)
                     pending.append((epoch, n, mean_ms))
                     epoch += n
