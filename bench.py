@@ -63,41 +63,62 @@ def main():
 
     assert dm.is_static, "mnist clustering path must be device-resident"
     images, labels = dm.device_arrays(dm.train, train_mode=True)
-    epoch_fn = trainer._build_epoch_fn()
+    # Same program shape the shipped 500-epoch protocol dispatches
+    # (train.epochs_per_dispatch=25): the SUSTAINED rate is the honest
+    # number. Short windows overread: a 3-epoch window with a step-counter
+    # fence measured 0.84 s/epoch while conservation over the full
+    # 500-epoch protocol pins the true sustained rate at 0.96 s/epoch —
+    # the fence's early return leaks up to one epoch of tail work past the
+    # timer, and a short window divides that leak by too few epochs.
+    edisp = 25
+    epoch_fn = trainer._build_epoch_fn(n_epochs=edisp)
     key = jax.random.key(0)
     state = trainer.state
 
-    def run_epoch(state, key):
-        """One epoch with an airtight fence: device_get of the step counter
-        data-depends on the whole epoch, so the transfer cannot complete
-        early. (block_until_ready has been observed to return before the
-        donated-state chain finishes on this tunneled backend.)"""
+    def run_dispatch(state, key):
+        """One edisp-epoch dispatch, fenced on the step counter (cheap;
+        approximate — see the leak note above, which is why the timed
+        window below closes on a data-dependent METRIC pull instead)."""
         key, sub = jax.random.split(key)
         t0 = time.time()
-        state, _, _ = epoch_fn(state, sub, images, labels)
+        state, means, _ = epoch_fn(state, sub, images, labels)
         step = int(jax.device_get(state.step))
-        return state, key, time.time() - t0, step
+        return state, key, means, time.time() - t0, step
 
     # Warm up until steady state: the first 2-3 executions of a freshly
     # compiled program run 10-20x slow on this backend (executable
     # upload/warm-up), and tunnel performance varies run to run — so
     # calibrate instead of assuming a fixed warmup count.
-    epoch_times = []
-    for i in range(12):
-        state, key, dt, step = run_epoch(state, key)
-        epoch_times.append(dt)
-        print(f"# warmup epoch {i}: {dt:.2f}s (step={step})", file=sys.stderr)
-        if len(epoch_times) >= 3 and all(
-            t < 1.25 * min(epoch_times) for t in epoch_times[-2:]
+    times = []
+    for i in range(6):
+        state, key, _, dt, step = run_dispatch(state, key)
+        times.append(dt)
+        print(
+            f"# warmup dispatch {i}: {dt:.2f}s ({dt/edisp:.3f}s/epoch,"
+            f" step={step})",
+            file=sys.stderr,
+        )
+        if len(times) >= 2 and all(
+            t < 1.10 * min(times) for t in times[-2:]
         ):
             break
 
-    # timed epochs (steady state)
-    n_epochs = 3
+    # timed window: 2 sustained dispatches = 50 epochs, closed by ONE
+    # device_get of the last dispatch's per-epoch loss means — those values
+    # data-depend on every train step in the dispatch, so the transfer
+    # cannot complete before the math does (airtight fence; CLAUDE.md).
+    n_disp = 2
     t0 = time.time()
-    for _ in range(n_epochs):
-        state, key, _, step = run_epoch(state, key)
+    for d in range(n_disp):
+        key, sub = jax.random.split(key)
+        state, means, _ = epoch_fn(state, sub, images, labels)
+        if d < n_disp - 1:
+            jax.device_get(state.step)  # keep the execution queue shallow
+    jax.device_get(
+        jax.tree_util.tree_map(lambda x: x[-1], means)
+    )
     dt = time.time() - t0
+    n_epochs = n_disp * edisp
 
     steps = dm.steps_per_epoch
     img_per_sec = n_epochs * steps * cfg.batch_size / dt
