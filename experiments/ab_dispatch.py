@@ -33,20 +33,24 @@ def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "f32"
     n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 
-    cfg = load_config(
-        "configs/vit_som/vit_som_mnist.yaml",
-        overrides={
-            "som.map_size": [24, 24],
-            "total_epochs": 500,
-            "data.allow_synthetic": True,
-            "data.synthetic_size": 70000,
-            "train.n_runs": 1,
-            "train.use_pallas_som": True,
-            "train.compute_dtype": "bfloat16",
-            "train.attn_impl": "xla_bf16",
-            "train.remat_blocks": False,
-        },
-    )
+    import yaml
+
+    overrides = {
+        "som.map_size": [24, 24],
+        "total_epochs": 500,
+        "data.allow_synthetic": True,
+        "data.synthetic_size": 70000,
+        "train.n_runs": 1,
+        "train.use_pallas_som": True,
+        "train.compute_dtype": "bfloat16",
+        "train.attn_impl": "xla_bf16",
+        "train.remat_blocks": False,
+    }
+    for arg in sys.argv[3:]:  # extra dotted k=v overrides
+        k, _, v = arg.partition("=")
+        overrides[k] = yaml.safe_load(v)
+
+    cfg = load_config("configs/vit_som/vit_som_mnist.yaml", overrides=overrides)
     dm = build_datamodule(cfg)
     trainer = Trainer(cfg, dm=dm, run_id=0)
 
@@ -58,6 +62,13 @@ def main():
             return batch.astype(jnp.float32) / 255.0
 
         epoch_fn = trainer._build_epoch_fn(augment_fn=aug_fn, n_epochs=n_epochs)
+    elif path == "bf16h":
+        # bf16 HBM dataset copy: halved gather traffic (data.hbm_dtype)
+        images_u8, labels = dm.raw_device_arrays(dm.train, mesh=trainer.mesh)
+        images = jax.jit(
+            lambda x: (x.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
+        )(images_u8)
+        epoch_fn = trainer._build_epoch_fn(n_epochs=n_epochs)
     else:
         images, labels = dm.device_arrays(dm.train, train_mode=True)
         epoch_fn = trainer._build_epoch_fn(n_epochs=n_epochs)

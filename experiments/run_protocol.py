@@ -53,9 +53,14 @@ def probe_health(timeout=420) -> dict:
             return {"ok": False, "why": proc.stderr[-500:]}
         parts = dict(p.split("=") for p in line[0].split()[1:])
         warm = float(parts["warm"])
+        first = float(parts["first"])
         return {
-            "ok": warm < 0.5,
-            "first_s": float(parts["first"]),
+            # first_s gates too: a stalled compile of even a trivial matmul
+            # (measured 405 s) predicts a stalled first dispatch in the
+            # protocol process (measured 407 s, r3c attempt 1) — warm
+            # execution latency alone does not see compile-path degradation
+            "ok": warm < 0.5 and first < 90.0,
+            "first_s": first,
             "warm_s": warm,
             "probe_wall_s": time.time() - t0,
         }
@@ -80,6 +85,23 @@ def main():
         results_dir, f"full_protocol_{args.tag}_attempts.jsonl"
     )
     os.makedirs(results_dir, exist_ok=True)
+
+    # Pre-materialize the synthetic dataset cache OUTSIDE any timed run (the
+    # reference's datasets pre-exist on disk; generating ours inside the
+    # first attempt's timer would penalize only attempt 0).
+    subprocess.run(
+        [sys.executable, "-c", (
+            "import sys; sys.path.insert(0, %r)\n"
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "from vitsom_tpu.config import load_config\n"
+            "from vitsom_tpu.data.pipeline import build_datamodule\n"
+            "cfg = load_config('configs/vit_som/vit_som_mnist.yaml',"
+            " overrides={'som.map_size': [24, 24], 'data.allow_synthetic':"
+            " True, 'data.synthetic_size': 70000, 'total_epochs': 1})\n"
+            "build_datamodule(cfg)\n"
+        ) % REPO],
+        cwd=REPO, capture_output=True, timeout=300,
+    )
 
     for attempt in range(args.attempts):
         # wait for a healthy window

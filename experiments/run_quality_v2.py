@@ -25,6 +25,10 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 OUT_DIR = os.path.join(REPO, "experiments", "results", "attn_dtype_quality_v2")
 
 IMPLS = {"ctrl": "xla", "xla_bf16": "xla_bf16", "xla_bf16s": "xla_bf16s"}
+# per-impl EXTRA overrides beyond attn_impl (e.g. the bf16 HBM dataset
+# variant rides the same quality protocol)
+EXTRA = {"bf16h": ["data.hbm_dtype=bfloat16"]}
+IMPLS["bf16h"] = "xla_bf16"
 SEEDS = (0, 1, 2, 3)
 OVERLAP = 0.1  # target pairwise Bayes error
 
@@ -46,6 +50,8 @@ def run_one(impl: str, seed: int) -> dict:
         "--override", f"train.attn_impl={IMPLS[impl]}",
         "--json-out", out_json,
     ]
+    for ov in EXTRA.get(impl, []):
+        cmd += ["--override", ov]
     proc = subprocess.run(
         cmd, cwd=REPO, capture_output=True, text=True, timeout=3600
     )

@@ -205,6 +205,12 @@ class DataConfig:
     # u8-resident gathers measured ~0.15 s/epoch slower (TPU random-row
     # gathers on 8-bit data lose more than the 4x traffic saving buys).
     uint8_hbm: bool = True
+    # dtype of the device-resident dataset copy the epoch gathers read
+    # (uint8_hbm path): "float32" (default) or "bfloat16". bf16 halves the
+    # per-epoch gather traffic; the model already casts inputs to bf16 when
+    # train.compute_dtype=bfloat16, so only the recon-loss TARGET gains
+    # quantization (~0.2% of a /255 pixel) — quality-gate before benching.
+    hbm_dtype: str = "float32"
     augment: AugmentConfig = field(default_factory=AugmentConfig)
 
     @property
@@ -212,6 +218,10 @@ class DataConfig:
         # Reference convention: num_classes > 0 selects the classification
         # path (``experiments/benchmarking/train_vit_som.py:41``).
         return self.num_classes > 0
+
+    def validate(self) -> None:
+        if self.hbm_dtype not in ("float32", "bfloat16"):
+            raise ValueError("data.hbm_dtype must be float32 or bfloat16")
 
 
 @dataclass(frozen=True)
@@ -251,6 +261,10 @@ class TrainConfig:
     # with deep execution queues). Raising this amortizes the fence RTT while
     # keeping the queue bounded at N.
     fence_every_n_dispatches: int = 1
+    # first-moment (adam m) accumulator dtype: "float32" (default) or
+    # "bfloat16" — halves the m read+write HBM traffic of every fused adam
+    # update (the SOM prototype table is 90% of params); v stays f32
+    adam_mu_dtype: str = "float32"
     # unroll factor for the step scan (XLA can overlap/fuse across unrolled
     # iterations at the cost of code size)
     scan_unroll: int = 1
@@ -272,6 +286,8 @@ class TrainConfig:
             raise ValueError(f"attn_impl must be one of {valid_impls}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError("compute_dtype must be float32 or bfloat16")
+        if self.adam_mu_dtype not in ("float32", "bfloat16"):
+            raise ValueError("adam_mu_dtype must be float32 or bfloat16")
 
 
 @dataclass(frozen=True)
@@ -297,6 +313,7 @@ class Config:
         self.ae.validate()
         self.swin.validate()
         self.optimizer.validate()
+        self.data.validate()
         self.train.validate()
         if self.total_epochs < 1 or self.batch_size < 1:
             raise ValueError("bad total_epochs/batch_size")

@@ -437,7 +437,9 @@ def make_synthetic(cfg: DataConfig, num_classes_hint: int = 10) -> ArraySplits:
         return ArraySplits(to_object(tx), ty, to_object(vx), vy)
     if cache_path is not None:
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-        tmp = cache_path + f".tmp{os.getpid()}"
+        # tmp name MUST end in .npz: np.savez appends the suffix otherwise
+        # and the atomic rename below would target a file that doesn't exist
+        tmp = cache_path[: -len(".npz")] + f".tmp{os.getpid()}.npz"
         try:
             # uncompressed savez + atomic rename: compression costs more CPU
             # than the single-core host can afford, and concurrent processes

@@ -138,8 +138,21 @@ def make_optimizer(
     the per-leaf chains adequately inside the epoch scan).
     """
     opt = cfg.optimizer
+    # Optional bf16 first-moment storage (train.adam_mu_dtype): the SOM
+    # prototype table dominates parameter count (24x24 map: 1.8M of ~2M
+    # params) and its fused adam update is a top-10 per-step HBM cost
+    # (26 us/step profiled, f32 m+v+p traffic). m tolerates bf16 — it only
+    # feeds the update direction through m_hat/(sqrt(v_hat)+eps); v stays
+    # f32 (sqrt of tiny values is precision-sensitive). Off by default;
+    # quality-validated on the synthetic protocol before benching.
+    mu_dtype = (
+        jnp.bfloat16 if cfg.train.adam_mu_dtype == "bfloat16" else None
+    )
     chain = [
-        optax.scale_by_adam(b1=opt.beta_1, b2=opt.beta_2, eps=opt.eps, eps_root=0.0)
+        optax.scale_by_adam(
+            b1=opt.beta_1, b2=opt.beta_2, eps=opt.eps, eps_root=0.0,
+            mu_dtype=mu_dtype,
+        )
     ]
     if opt.type == "adamw":
         chain.append(add_decayed_weights_tree(build_weight_decay_map(params, cfg)))

@@ -478,8 +478,17 @@ class Trainer:
                 images_u8, labels = self.dm.raw_device_arrays(
                     self.dm.train, mesh=self.mesh
                 )
+                # /255 in f32 (correct rounding), then the configured
+                # storage dtype: bf16 halves the per-epoch gather traffic
+                hbm_dtype = (
+                    jnp.bfloat16
+                    if cfg.data.hbm_dtype == "bfloat16"
+                    else jnp.float32
+                )
                 images = jax.jit(
-                    lambda x: x.astype(jnp.float32) / 255.0
+                    lambda x: (x.astype(jnp.float32) / 255.0).astype(
+                        hbm_dtype
+                    )
                 )(images_u8)
                 images_u8 = None
                 aug_fn = None
