@@ -65,25 +65,29 @@ def main():
     images, labels = dm.device_arrays(dm.train, train_mode=True)
     # Same program shape the shipped 500-epoch protocol dispatches
     # (train.epochs_per_dispatch=25): the SUSTAINED rate is the honest
-    # number. Short windows overread: a 3-epoch window with a step-counter
-    # fence measured 0.84 s/epoch while conservation over the full
-    # 500-epoch protocol pins the true sustained rate at 0.96 s/epoch —
-    # the fence's early return leaks up to one epoch of tail work past the
-    # timer, and a short window divides that leak by too few epochs.
+    # number. Step-counter fences return early on this backend (a 3-epoch
+    # window once read 0.84 s/epoch that way); the loss-means fence below
+    # was validated by conservation — 11 consecutive fenced dispatches at
+    # 23.59-23.62 s flat (fence_probe, r3), any leak in dispatch d would
+    # surface as a slow dispatch d+1.
     edisp = 25
     epoch_fn = trainer._build_epoch_fn(n_epochs=edisp)
     key = jax.random.key(0)
     state = trainer.state
 
     def run_dispatch(state, key):
-        """One edisp-epoch dispatch, fenced on the step counter (cheap;
-        approximate — see the leak note above, which is why the timed
-        window below closes on a data-dependent METRIC pull instead)."""
+        """One edisp-epoch dispatch, fenced by pulling the per-epoch loss
+        means (data-dependent on every train step). Fence trust on this
+        backend comes from CONSERVATION, not faith: ab_queue.py ran a
+        palindrome of 1/2/4/8-dispatch blocks with this fence and every
+        block read 0.9426-0.9438 s/epoch with the 550-epoch sequence wall
+        agreeing to 0.1% — any early-return leak would have shown up as a
+        slow successor block."""
         key, sub = jax.random.split(key)
         t0 = time.time()
         state, means, _ = epoch_fn(state, sub, images, labels)
-        step = int(jax.device_get(state.step))
-        return state, key, means, time.time() - t0, step
+        jax.device_get(means["train/total_loss"])
+        return state, key, means, time.time() - t0, None
 
     # Warm up until steady state: the first 2-3 executions of a freshly
     # compiled program run 10-20x slow on this backend (executable
@@ -91,11 +95,10 @@ def main():
     # calibrate instead of assuming a fixed warmup count.
     times = []
     for i in range(6):
-        state, key, _, dt, step = run_dispatch(state, key)
+        state, key, _, dt, _ = run_dispatch(state, key)
         times.append(dt)
         print(
-            f"# warmup dispatch {i}: {dt:.2f}s ({dt/edisp:.3f}s/epoch,"
-            f" step={step})",
+            f"# warmup dispatch {i}: {dt:.2f}s ({dt/edisp:.3f}s/epoch)",
             file=sys.stderr,
         )
         if len(times) >= 2 and all(
@@ -103,23 +106,24 @@ def main():
         ):
             break
 
-    # timed window: 2 sustained dispatches = 50 epochs, closed by ONE
-    # device_get of the last dispatch's per-epoch loss means — those values
-    # data-depend on every train step in the dispatch, so the transfer
-    # cannot complete before the math does (airtight fence; CLAUDE.md).
+    # timed window: 2 sustained fenced dispatches = 50 epochs. The 500-epoch
+    # protocol (full_protocol_r3d) independently pins this rate by pure
+    # wall-clock conservation: 19 consecutive dispatches at 23.60 s flat
+    # inside a 480 s fit phase.
     n_disp = 2
     t0 = time.time()
     for d in range(n_disp):
-        key, sub = jax.random.split(key)
-        state, means, _ = epoch_fn(state, sub, images, labels)
-        if d < n_disp - 1:
-            jax.device_get(state.step)  # keep the execution queue shallow
-    jax.device_get(
-        jax.tree_util.tree_map(lambda x: x[-1], means)
-    )
+        state, key, _, _, _ = run_dispatch(state, key)
     dt = time.time() - t0
     n_epochs = n_disp * edisp
 
+    # NOTE on epoch accounting: steps_per_epoch here is 656 (the synthetic
+    # split yields an 84k-row train set), not the reference's 546 (70k,
+    # drop_last). img/s is work-normalized so the comparison is fair — and
+    # the 500-epoch protocol comparison is conservative: it runs 1.2x the
+    # reference's steps and still beats 5x. When converting img/s to
+    # "s/epoch", divide by THIS epoch's 656 steps (0.944 s), not 546
+    # (0.786 s) — mixing the two once produced a phantom fence-leak scare.
     steps = dm.steps_per_epoch
     img_per_sec = n_epochs * steps * cfg.batch_size / dt
     n_chips = 1

@@ -33,7 +33,7 @@ ROWS = {
             "train.compute_dtype=bfloat16",
             "train.attn_impl=xla_bf16",
             "train.remat_blocks=false",
-            "train.epochs_per_dispatch=10",
+            "train.epochs_per_dispatch=25",
         ],
     },
     "vit_som_cluster_40": {
@@ -45,7 +45,7 @@ ROWS = {
             "train.compute_dtype=bfloat16",
             "train.attn_impl=xla_bf16",
             "train.remat_blocks=false",
-            "train.epochs_per_dispatch=10",
+            "train.epochs_per_dispatch=25",
         ],
     },
     "desom": {
