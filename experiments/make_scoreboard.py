@@ -1,0 +1,81 @@
+"""Render the family scoreboard (experiments/run_family_bench.py output)
+as a markdown table for PARITY.md / README.md.
+
+Merges ``family_bench_r3/summary.json`` rows with peak-memory telemetry
+from the per-row raw harness jsons, against the reference wall-clock rows
+(``/root/reference/README.md:87-95``, quoted in BASELINE.md).
+
+Usage: python experiments/make_scoreboard.py
+"""
+
+import json
+import os
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT_DIR = os.path.join(HERE, "results", "family_bench_r3")
+
+LABELS = {
+    "vit_som_cluster_24": "ViT-SOM (24×24) MNIST clustering",
+    "vit_som_cluster_40": "ViT-SOM (40×40) MNIST clustering",
+    "desom": "DESOM MNIST clustering",
+    "vit_som_cls": "ViT-SOM (4×4) CIFAR-10 classification",
+    "vit": "ViT CIFAR-10 classification",
+    "swin": "Swin-T CIFAR-10 classification",
+    "deit": "DeiT-T CIFAR-10 classification (distilled)",
+    "mobile_vit": "MobileViT-S CIFAR-10 classification",
+}
+
+BASELINES = {  # seconds, /root/reference/README.md:87-95
+    "vit_som_cluster_24": (2432.052, 1.60),
+    "vit_som_cluster_40": (2432.05, 1.61),
+    "desom": (188.590, 0.697),
+    "vit_som_cls": (2923.095, 8.471),
+    "vit": (2816.594, None),
+    "swin": (2935.20, None),
+    "deit": (4135.05, None),
+    "mobile_vit": (3162.33, None),
+}
+
+
+def main():
+    with open(os.path.join(OUT_DIR, "summary.json")) as f:
+        summary = json.load(f)
+
+    print(
+        "| Benchmark | Reference (1× GPU) | This repo (1× v5e, end-to-end) "
+        "| Ratio | img/s/chip | Inference | Quality (synthetic protocol) "
+        "| Peak mem (lower bound) |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for name, label in LABELS.items():
+        row = summary.get(name)
+        base_s, base_inf = BASELINES[name]
+        if not row or "error" in row:
+            print(f"| {label} | {base_s:.1f} s | (not recorded) | | | | | |")
+            continue
+        mem = ""
+        raw_path = os.path.join(OUT_DIR, f"{name}.json")
+        if os.path.exists(raw_path):
+            with open(raw_path) as f:
+                raw = json.load(f)
+            if raw.get("peak_memory_gb"):
+                mem = f"{raw['peak_memory_gb'][0]:.3f} GB"
+        inf = f"{row['inference_time_s']:.3f} s"
+        if base_inf:
+            inf += f" ({base_inf / row['inference_time_s']:.2f}× vs {base_inf} s)"
+        if "purity" in row:
+            quality = f"purity {row['purity']:.3f} / NMI {row['nmi']:.3f}"
+        elif "accuracy" in row:
+            quality = f"acc {row['accuracy']:.3f}"
+        else:
+            quality = ""
+        print(
+            f"| {label} | {base_s:.1f} s | **{row['run_duration_s']:.1f} s** "
+            f"| **{row['vs_baseline']:.2f}×** "
+            f"| {row['images_per_sec_per_chip'] / 1000:.1f}k | {inf} "
+            f"| {quality} | {mem} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--outdir", default="/tmp/vitsom_trace")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument(
+        "--config", default="configs/vit_som/vit_som_mnist.yaml",
+        help="base config (e.g. configs/vit_som/vit_som_cifar-10.yaml to "
+        "profile the classification + on-device-augmentation step)",
+    )
     ap.add_argument("overrides", nargs="*", help="config k=v overrides")
     args = ap.parse_args()
 
@@ -34,20 +39,22 @@ def main():
     from vitsom_tpu.train.trainer import Trainer
 
     overrides = {
-        "som.map_size": [24, 24],
         "total_epochs": 500,
         "data.allow_synthetic": True,
-        "data.synthetic_size": 70000,
         "train.n_runs": 1,
         "train.use_pallas_som": True,
         "train.compute_dtype": args.dtype,
         "train.use_pallas_attention": os.environ.get("PROFILE_PALLAS_ATTN", "") == "1",
     }
+    if args.config.endswith("vit_som_mnist.yaml"):
+        # the bench workload: 24x24 paper variant on the full-size stand-in
+        overrides["som.map_size"] = [24, 24]
+        overrides["data.synthetic_size"] = 70000
     for arg in args.overrides:
         k, _, v = arg.partition("=")
         overrides[k] = yaml.safe_load(v)
 
-    cfg = load_config("configs/vit_som/vit_som_mnist.yaml", overrides=overrides)
+    cfg = load_config(args.config, overrides=overrides)
     dm = build_datamodule(cfg)
     trainer = Trainer(cfg, dm=dm, run_id=0)
     images, labels = dm.device_arrays(dm.train, train_mode=True)
@@ -99,9 +106,13 @@ def main():
         tot[e["name"]] += d
         cnt[e["name"]] += 1
         total += d
-    print(f"total device time: {total:.1f} ms over traced epoch (546 steps)")
+    n_steps = images.shape[0] // cfg.batch_size
+    print(f"total device time: {total:.1f} ms over traced epoch ({n_steps} steps)")
     for name, t in sorted(tot.items(), key=lambda kv: -kv[1])[:60]:
-        print(f"{t:10.2f} ms  {cnt[name]:6d}x  {t/546*1000:8.2f} us/step  {name[:140]}")
+        print(
+            f"{t:10.2f} ms  {cnt[name]:6d}x  {t/n_steps*1000:8.2f} us/step  "
+            f"{name[:140]}"
+        )
 
 
 if __name__ == "__main__":

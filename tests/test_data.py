@@ -70,6 +70,41 @@ def test_synthetic_overlap_mode():
     assert 0.05 < err < 0.5, err
 
 
+def test_synthetic_train_test_consistent():
+    """Train and test splits must share class-conditional structure (one
+    template draw per dataset, not per gen() call): a nearest-centroid
+    classifier FIT ON TRAIN must transfer to TEST. Regression guard — a
+    previous generator re-drew templates inside gen(), so test classes were
+    unrelated to train classes and 500-epoch TPU classification runs scored
+    ~random test accuracy while val (carved from train) scored 1.0."""
+    import dataclasses
+
+    base = cluster_cfg().data
+    for overlap in (0.0, 0.1):
+        # overlap mode needs enough TEST rows per class (8000/5/10 = 160)
+        # that class-mean estimation noise sits well below the designed
+        # delta-separation; 8000 stays under the disk-cache threshold
+        splits = make_synthetic(
+            dataclasses.replace(base, synthetic_size=2000 if overlap == 0.0
+                                else 8000, synthetic_overlap=overlap)
+        )
+        xtr = splits.train_x.reshape(len(splits.train_y), -1).astype(np.float32)
+        xte = splits.test_x.reshape(len(splits.test_y), -1).astype(np.float32)
+        ks = np.unique(splits.train_y)
+        ctr = np.stack([xtr[splits.train_y == k_].mean(axis=0) for k_ in ks])
+        cte = np.stack([xte[splits.test_y == k_].mean(axis=0) for k_ in ks])
+        # each train-class mean's nearest TEST-class mean must be the same
+        # class (with per-call templates the pairing was random, ~1/10 hits)
+        d = ((ctr[:, None, :] - cte[None]) ** 2).sum(-1)
+        assert (np.argmin(d, axis=1) == np.arange(len(ks))).all(), (
+            overlap, np.argmin(d, axis=1))
+        if overlap == 0.0:
+            # separable templates: per-sample transfer is near-perfect too
+            ds = ((xte[:, None, :] - ctr[None]) ** 2).sum(-1)
+            acc = float(np.mean(ks[np.argmin(ds, axis=1)] == splits.test_y))
+            assert acc > 0.99, acc
+
+
 def test_clustering_split_concat():
     cfg = cluster_cfg(500)
     dm = build_datamodule(cfg)

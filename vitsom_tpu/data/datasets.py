@@ -348,10 +348,12 @@ def make_synthetic(cfg: DataConfig, num_classes_hint: int = 10) -> ArraySplits:
         cache_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), ".synthetic_cache")
+        # _g2: generator version — bump whenever gen() numerics change so
+        # stale on-disk caches (older generator streams) are never reused
         tag = (
             f"{cfg.dataset}_{cfg.input_size}x{cfg.num_channels}"
             f"_k{max(cfg.num_classes, num_classes_hint)}_n{n_train}"
-            f"_ov{getattr(cfg, 'synthetic_overlap', 0.0)}"
+            f"_ov{getattr(cfg, 'synthetic_overlap', 0.0)}_g2"
         )
         cache_path = os.path.join(cache_dir, tag + ".npz")
         if os.path.exists(cache_path):
@@ -401,17 +403,23 @@ def make_synthetic(cfg: DataConfig, num_classes_hint: int = 10) -> ArraySplits:
             return x.astype(np.uint8), y.astype(np.int64)
 
     else:
+        # Class templates are drawn ONCE, shared by every gen() call: train
+        # and test MUST come from the same class-conditional distribution
+        # (a previous version re-drew templates per call, which silently
+        # made the test split's classes unrelated to the train split's —
+        # classifiers scored ~random test accuracy while val, carved from
+        # train, scored 1.0). Guarded by test_synthetic_train_test_consistent.
+        templates = rng.random(size=(k, h, w, c), dtype=np.float32)
+        templates = templates * (0.6 * 255.0)
 
         def gen(n):
             y = rng.integers(0, k, size=n)
             # per-class template + noise, in [0, 255]; f32-native draws and
             # in-place mixing (t*0.6 + u*0.4)*255 = t*153 + u*102 — the f64
             # draw/temporary chain cost ~6 s at n=70000 (measured)
-            templates = rng.random(size=(k, h, w, c), dtype=np.float32)
             noise = rng.random(size=(n, h, w, c), dtype=np.float32)
             noise *= 0.4 * 255.0
             x = templates[y]
-            x *= 0.6 * 255.0
             x += noise
             return x.astype(np.uint8), y.astype(np.int64)
 
