@@ -65,6 +65,7 @@ ROWS = {
             "data.synthetic_size=50000",
             "train.compute_dtype=bfloat16",
             "train.attn_impl=xla_bf16",
+            "train.epochs_per_dispatch=10",
         ],
     },
     "vit": {
@@ -74,6 +75,7 @@ ROWS = {
             "data.synthetic_size=50000",
             "train.compute_dtype=bfloat16",
             "train.attn_impl=xla_bf16",
+            "train.epochs_per_dispatch=10",
         ],
     },
     "swin": {
@@ -82,6 +84,7 @@ ROWS = {
         "overrides": [
             "data.synthetic_size=50000",
             "train.compute_dtype=bfloat16",
+            "train.epochs_per_dispatch=10",
         ],
     },
     "deit": {
@@ -90,6 +93,7 @@ ROWS = {
         "overrides": [
             "data.synthetic_size=50000",
             "train.compute_dtype=bfloat16",
+            "train.epochs_per_dispatch=10",
         ],
     },
     "mobile_vit": {
@@ -98,6 +102,7 @@ ROWS = {
         "overrides": [
             "data.synthetic_size=50000",
             "train.compute_dtype=bfloat16",
+            "train.epochs_per_dispatch=10",
         ],
     },
 }

@@ -110,6 +110,50 @@ def test_vit_som_cls_trainer(tmp_path):
     assert result["best_val_accuracy"] >= 0
 
 
+def test_fused_val_matches_host_validation(tmp_path):
+    """train.fused_val (validation scanned INSIDE the epoch device program,
+    best-epoch params tracked in the scan carry) must reproduce the host
+    validation path: same best_val_accuracy, and the persisted "best"
+    checkpoint must load. Training is RNG-identical across the two modes;
+    only where the val forward runs differs."""
+    results = {}
+    for fused in (False, True):
+        cfg = Config(
+            model_arch="vit_som",
+            total_epochs=3,
+            batch_size=32,
+            gamma=0.01,
+            som=SOMConfig(map_size=(4, 4), t_max=4.0, t_min=0.5,
+                          distance_fcn="cosine"),
+            vit=ViTConfig(patch_size=4, emb_dim=16, depth=1, heads=2,
+                          dec_emb_dim=8, dec_depth=1),
+            optimizer=OptimizerConfig(type="adamw", lr=5e-4,
+                                      scheduler="constant", warmup_epochs=0),
+            data=DataConfig(dataset="synthetic", num_classes=10,
+                            num_channels=3, input_size=32,
+                            allow_synthetic=True, synthetic_size=256,
+                            num_workers=0),
+            train=TrainConfig(
+                checkpoint_dir=str(tmp_path / f"s{int(fused)}"),
+                log_dir=str(tmp_path / f"l{int(fused)}"),
+                n_runs=1, fused_val=fused,
+            ),
+        ).validate()
+        dm = build_datamodule(cfg)
+        trainer = Trainer(cfg, dm=dm, run_id=0)
+        res = trainer.fit(progress=False)
+        results[fused] = res["best_val_accuracy"]
+        import os
+
+        assert os.path.isdir(trainer.checkpoint_dir("best")), (
+            "best checkpoint must exist in both modes"
+        )
+        trainer.restore_checkpoint(tag="best")
+    # identical training stream; val math runs in a different program, so
+    # allow float-accumulation slack on the accuracy ratio of a small split
+    assert abs(results[True] - results[False]) <= 1.0 / 32 + 1e-6, results
+
+
 def test_dp_8_devices_matches_single_device(tmp_path):
     """Data-parallel training over the 8-device mesh must reproduce the
     1-device run: same global batch, params replicated, XLA inserts the

@@ -355,9 +355,21 @@ class Trainer:
 
     # -- scan mode ---------------------------------------------------------
 
-    def _build_epoch_fn(self, augment_fn=None, n_epochs: int = 1):
+    def _build_epoch_fn(self, augment_fn=None, n_epochs: int = 1,
+                        val_steps: int = 0):
         """Whole-epoch program: permutation + bulk gather + scan of steps,
         scanned over ``n_epochs`` epochs per dispatch.
+
+        ``val_steps > 0`` (``train.fused_val``, classification scan mode)
+        appends the per-epoch validation pass INSIDE the same program: the
+        eval step scans the ``val_steps`` pre-batched val batches after each
+        epoch, accuracy/val losses reduce on device into the returned metric
+        stacks (``val/*`` tags — parity with ``_maybe_validate``), and the
+        best-epoch params (+ batch_stats) are tracked in the scan carry with
+        a ``jnp.where`` select. The host loop then never needs a per-epoch
+        eval dispatch or logits transfer; the best checkpoint is written once
+        after the run from the tracked params — the same artifact the
+        save-on-improvement host path produces.
 
         With ``augment_fn`` (device-augment mode) the gathered batches are
         RAW uint8 and the full augmentation stack runs inside the scan body —
@@ -421,6 +433,75 @@ class Trainer:
             mean_metrics = jax.tree_util.tree_map(lambda x: jnp.mean(x), ms)
             last_metrics = jax.tree_util.tree_map(lambda x: x[-1], ms)
             return state, mean_metrics, last_metrics
+
+        if val_steps:
+            eval_step = self._eval_step
+            statics = self.statics
+            t_max, t_min = self.cfg.som.t_max, self.cfg.som.t_min
+
+            def val_metrics(state, val_images, val_labels):
+                # validate AFTER the epoch at the then-current step's
+                # temperature — exactly what _maybe_validate computes on host
+                t = som.temperature_schedule(
+                    state.step, statics.total_iterations_float, t_max, t_min
+                )
+                batched = {
+                    "image": val_images.reshape(
+                        (val_steps, bs) + val_images.shape[1:]
+                    ),
+                    "label": val_labels.reshape(val_steps, bs),
+                }
+
+                def vbody(c, vb):
+                    o = eval_step(state.params, vb, t, state.batch_stats)
+                    m = {
+                        "val/accuracy": jnp.mean(
+                            (jnp.argmax(o["logits"], -1) == vb["label"]
+                             ).astype(jnp.float32)
+                        )
+                    }
+                    for k_, v_ in o.items():
+                        if k_.endswith("_loss"):
+                            m[f"val/{k_}"] = v_
+                    return c, m
+
+                _, ms = jax.lax.scan(vbody, None, batched)
+                return jax.tree_util.tree_map(jnp.mean, ms)
+
+            def epoch_fn_val(carry, key, images, labels, val_images,
+                             val_labels):
+                def outer(carry, ekey):
+                    state, best_acc, best_p, best_bs = carry
+                    state, mean_m, last_m = one_epoch(
+                        state, ekey, images, labels
+                    )
+                    vm = val_metrics(state, val_images, val_labels)
+                    mean_m = {**mean_m, **vm}
+                    last_m = {**last_m, **vm}
+                    improved = vm["val/accuracy"] > best_acc
+                    best_acc = jnp.where(improved, vm["val/accuracy"],
+                                         best_acc)
+
+                    def sel(new, old):
+                        return jnp.where(improved, new, old)
+
+                    best_p = jax.tree_util.tree_map(sel, state.params, best_p)
+                    if best_bs is not None:
+                        best_bs = jax.tree_util.tree_map(
+                            sel, state.batch_stats, best_bs
+                        )
+                    return (state, best_acc, best_p, best_bs), (mean_m, last_m)
+
+                ekeys = jax.random.split(key, n_epochs)
+                carry, (means, lasts) = jax.lax.scan(outer, carry, ekeys)
+                return carry, means, lasts
+
+            if os.environ.get("VITSOM_NO_OUT_SHARDINGS"):
+                return jax.jit(epoch_fn_val, donate_argnums=(0,))
+            ss = self._state_sharding
+            return jax.jit(
+                epoch_fn_val, donate_argnums=(0,), out_shardings=(ss, ss, ss)
+            )
 
         def epoch_fn(state, key, images, labels):
             def outer(state, ekey):
@@ -507,12 +588,53 @@ class Trainer:
                 )
                 aug_fn = make_device_train_augment(cfg.data)
             e_disp = max(1, cfg.train.epochs_per_dispatch)
+
+            # fused on-device validation (see _build_epoch_fn/val_steps):
+            # uniform single-process classification with per-epoch eval
+            fused_val = (
+                cfg.train.fused_val
+                and cfg.classification
+                and self.dm.val is not None
+                and jax.process_count() == 1
+                and cfg.train.eval_every_n_epochs == 1
+                and isinstance(self.dm.val.x, np.ndarray)
+                and self.dm.val.x.dtype != object
+                and len(self.dm.val) >= cfg.batch_size
+            )
+            val_args = ()
+            val_steps = 0
+            if fused_val:
+                v_images, v_labels = self.dm.device_arrays(
+                    self.dm.val, train_mode=False, mesh=self.mesh
+                )
+                # drop_last batching — same rows validation_metrics scores
+                val_steps = len(self.dm.val) // cfg.batch_size
+                n_keep = val_steps * cfg.batch_size
+                val_args = (v_images[:n_keep], v_labels[:n_keep])
+                # carry: best acc starts below any real accuracy so epoch 1
+                # always installs itself; best params start as fresh zeros
+                # buffers (NOT an alias of state.params — the carry is
+                # donated and aliased donation is undefined)
+                zeros = jax.jit(
+                    lambda t: jax.tree_util.tree_map(jnp.zeros_like, t),
+                    out_shardings=self._state_sharding,
+                )
+                carry = (
+                    self.state,
+                    mesh_lib.put_replicated(
+                        jnp.asarray(-1.0, jnp.float32), self.mesh
+                    ),
+                    zeros(self.state.params),
+                    zeros(self.state.batch_stats)
+                    if self.state.batch_stats is not None
+                    else None,
+                )
             epoch_fns: Dict[int, Any] = {}
 
             def get_epoch_fn(n):
                 if n not in epoch_fns:
                     epoch_fns[n] = self._build_epoch_fn(
-                        augment_fn=aug_fn, n_epochs=n
+                        augment_fn=aug_fn, n_epochs=n, val_steps=val_steps
                     )
                 return epoch_fns[n]
 
@@ -532,7 +654,10 @@ class Trainer:
             # run-level mean (per-dispatch walls don't exist un-fenced).
             defer = (
                 cfg.train.profile_epoch < 0
-                and not (cfg.classification and self.dm.val is not None)
+                and (
+                    fused_val
+                    or not (cfg.classification and self.dm.val is not None)
+                )
                 and not (
                     cfg.train.log_images_every_n_epochs > 0
                     and cfg.model_arch == "desom"
@@ -549,9 +674,15 @@ class Trainer:
                 key, sub = jax.random.split(key)
                 t_e = time.time()
                 if defer:
-                    self.state, mean_ms, _ = epoch_fn(
-                        self.state, sub, images, labels
-                    )
+                    if fused_val:
+                        carry, mean_ms, _ = epoch_fn(
+                            carry, sub, images, labels, *val_args
+                        )
+                        self.state = carry[0]
+                    else:
+                        self.state, mean_ms, _ = epoch_fn(
+                            self.state, sub, images, labels
+                        )
                     # FENCE (one ~65 ms scalar pull) every Nth dispatch:
                     # measured on the tunneled backend, un-fenced
                     # back-to-back dispatches run ~3x slower per epoch
@@ -569,9 +700,15 @@ class Trainer:
                     epoch += n
                     continue
                 with self._maybe_profile(epoch):
-                    self.state, mean_ms, last_ms = epoch_fn(
-                        self.state, sub, images, labels
-                    )
+                    if fused_val:
+                        carry, mean_ms, last_ms = epoch_fn(
+                            carry, sub, images, labels, *val_args
+                        )
+                        self.state = carry[0]
+                    else:
+                        self.state, mean_ms, last_ms = epoch_fn(
+                            self.state, sub, images, labels
+                        )
                     jax.block_until_ready(self.state.step)
                 # ONE batched device->host pull per dispatch: each individual
                 # scalar fetch costs ~65ms RTT on tunneled TPU backends, so
@@ -592,7 +729,8 @@ class Trainer:
                 # images/validation at dispatch boundaries (every epoch when
                 # epochs_per_dispatch == 1, the default)
                 self._maybe_log_images(epoch - 1, images, end_step)
-                best_val_acc = self._maybe_validate(epoch - 1, best_val_acc)
+                if not fused_val:
+                    best_val_acc = self._maybe_validate(epoch - 1, best_val_acc)
             if pending:
                 # single fence + transfer for the whole run's metrics
                 host = dist_lib.to_host(
@@ -610,6 +748,14 @@ class Trainer:
                             step=(start_e + i + 1) * self.dm.steps_per_epoch,
                         )
             jax.block_until_ready(self.state.params)
+            if fused_val:
+                # one pull for the tracked best accuracy; the best-epoch
+                # params land on disk as the same "best" checkpoint artifact
+                # the save-on-improvement host path writes
+                best_val_acc = float(dist_lib.to_host(carry[1]))
+                self.save_checkpoint(
+                    tag="best", params=carry[2], batch_stats=carry[3]
+                )
             if os.environ.get("VITSOM_TIMING") and dispatch_host_s:
                 import sys as _sys
 
@@ -758,18 +904,23 @@ class Trainer:
             )
         )
 
-    def save_checkpoint(self, tag: str = "last"):
+    def save_checkpoint(self, tag: str = "last", params=None, batch_stats=None):
+        """``params``/``batch_stats`` override the live state's (used by the
+        fused-val path to persist the tracked best-epoch weights); opt_state
+        and step always come from the live state."""
         import orbax.checkpoint as ocp
 
         path = self.checkpoint_dir(tag)
         ckptr = ocp.StandardCheckpointer()
         payload = {
-            "params": self.state.params,
+            "params": params if params is not None else self.state.params,
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
-        if self.state.batch_stats is not None:
-            payload["batch_stats"] = self.state.batch_stats
+        if batch_stats is None:
+            batch_stats = self.state.batch_stats
+        if batch_stats is not None:
+            payload["batch_stats"] = batch_stats
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
         # Embed the full config so the checkpoint is self-contained
