@@ -57,8 +57,19 @@ def main():
     cfg = load_config(args.config, overrides=overrides)
     dm = build_datamodule(cfg)
     trainer = Trainer(cfg, dm=dm, run_id=0)
-    images, labels = dm.device_arrays(dm.train, train_mode=True)
-    epoch_fn = trainer._build_epoch_fn()
+    # mirror Trainer.fit's scan-mode data path: augmented uniform datasets
+    # profile WITH the on-device augmentation stack inside the epoch program
+    # (host-transforming the split here would both misattribute the step
+    # cost and take minutes per 50k images on this 1-core host)
+    if dm.use_device_augment:
+        from vitsom_tpu.data.device_augment import make_device_train_augment
+
+        images, labels = dm.raw_device_arrays(dm.train)
+        aug_fn = make_device_train_augment(cfg.data)
+    else:
+        images, labels = dm.device_arrays(dm.train, train_mode=True)
+        aug_fn = None
+    epoch_fn = trainer._build_epoch_fn(augment_fn=aug_fn)
     key = jax.random.key(0)
     state = trainer.state
 
