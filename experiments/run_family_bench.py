@@ -21,7 +21,14 @@ pays in-process cache loading, executable upload and warm-up — only the
 one-time compilation is amortized, as the reference's precompiled CUDA
 kernels are.
 
-Usage: python experiments/run_family_bench.py [--no-warm] [model ...]
+Usage: python experiments/run_family_bench.py [--no-warm]
+         [--warm-timeout=SECONDS] [model ...]
+
+``--warm-timeout`` raises the 600 s default warm kill — the big
+classification epoch programs (500-epoch cls with on-device augmentation)
+need longer than 600 s to finish compiling, and a timed run behind an
+incomplete warm pays the residual compile (vit_som_cls r3: ~250 s of its
+1488 s). Pass e.g. ``--warm-timeout=2400`` to let the warm run complete.
 """
 
 import json
@@ -209,6 +216,10 @@ def wait_healthy(max_wait: float = 1800.0) -> dict:
 def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     warm = "--no-warm" not in sys.argv
+    warm_timeout = 600
+    for a in sys.argv[1:]:
+        if a.startswith("--warm-timeout="):
+            warm_timeout = int(a.split("=", 1)[1])
     names = argv or list(ROWS)
     summary_path = os.path.join(OUT_DIR, "summary.json")
     summary = {}
@@ -217,7 +228,7 @@ def main():
             summary = json.load(f)
     for name in names:
         print(f"=== {name} ===", flush=True)
-        warm_info = warm_one(name, ROWS[name]) if warm else {}
+        warm_info = warm_one(name, ROWS[name], timeout=warm_timeout) if warm else {}
         if warm_info:
             print(json.dumps(warm_info), flush=True)
         health = wait_healthy()
