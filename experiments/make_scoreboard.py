@@ -42,6 +42,14 @@ def main():
         summary = json.load(f)
 
     print(
+        "Every wall-clock row the reference CAN run is scored below. "
+        "BASELINE.md's remaining wall-clock rows (SOM-VAE 463.2 s) and "
+        "accuracy rows (SOM, SOM-VAE, ResNet34) are third-party numbers "
+        "the reference README quotes from other papers — no code for them "
+        "exists in the reference repo (models/: ae, deit, desom, mobile_vit, "
+        "som_layer, swin, vit, vit_som only).\n"
+    )
+    print(
         "| Benchmark | Reference (1× GPU) | This repo (1× v5e, end-to-end) "
         "| Ratio | img/s/chip | Inference | Quality (synthetic protocol) "
         "| Peak mem (lower bound) |"
