@@ -30,10 +30,10 @@ BASELINES = {  # seconds, /root/reference/README.md:87-95
     "vit_som_cluster_40": (2432.05, 1.61),
     "desom": (188.590, 0.697),
     "vit_som_cls": (2923.095, 8.471),
-    "vit": (2816.594, None),
-    "swin": (2935.20, None),
-    "deit": (4135.05, None),
-    "mobile_vit": (3162.33, None),
+    "vit": (2816.594, 0.620),
+    "swin": (2935.20, 0.891),
+    "deit": (4135.05, 0.912),
+    "mobile_vit": (3162.33, 0.791),
 }
 
 
