@@ -176,10 +176,15 @@ def run_one(name: str, spec: dict) -> dict:
     cmd = build_cmd(name, spec, out_json)
     env = dict(os.environ, VITSOM_TIMING="1")
     t0 = time.time()
-    proc = subprocess.run(
-        cmd, cwd=REPO, env=env, capture_output=True, text=True,
-        timeout=4 * 3600,
-    )
+    try:
+        proc = subprocess.run(
+            cmd, cwd=REPO, env=env, capture_output=True, text=True,
+            timeout=4 * 3600,
+        )
+    except subprocess.TimeoutExpired:
+        # record an error row instead of aborting the whole unattended sweep
+        # (the tunnel is documented to stall compiles for 10+ minutes)
+        return {"name": name, "error": "timeout after 4h"}
     log_path = os.path.join(OUT_DIR, f"{name}.log")
     with open(log_path, "w") as f:
         f.write(proc.stdout + "\n--- stderr ---\n" + proc.stderr)

@@ -42,16 +42,48 @@ def main(out_json: str):
     trainer = Trainer(cfg, dm=dm, run_id=0)
     fit = trainer.fit(progress=False)
     metrics = trainer.evaluate()
+    vm, km = _extra_evals(trainer, dm)
     result = {
         "process_index": jax.process_index(),
         "final_step": fit["final_step"],
         "purity": metrics["purity"],
         "nmi": metrics["nmi"],
         "history_total_loss": trainer.logger.history.get("train/total_loss"),
+        "val_metrics": vm,
+        "kmeans": km,
     }
     with open(out_json, "w") as f:
         json.dump(result, f)
     print(f"worker {jax.process_index()} done: {result}")
+
+
+def _extra_evals(trainer, dm):
+    """Exercise the remaining sharded evaluators (validation_metrics loss
+    gathering + evaluate_kmeans) — shared with the parent's single-process
+    control run so both paths are parity-checked. The latent step wraps the
+    trained model's CLS token so kmeans needs no second model family."""
+    from vitsom_tpu.eval import evaluate as eval_lib
+
+    vm = eval_lib.validation_metrics(
+        trainer.eval_fn(), trainer.state.params, dm, dm.train,
+        temperature=trainer.current_temperature(),
+        batch_stats=trainer.state.batch_stats,
+    )
+    model = trainer.model
+
+    def latent_step(params, batch, temperature, batch_stats=None):
+        cls_tok, *_ = model.apply({"params": params}, batch["image"])
+        return {"latent": cls_tok}
+
+    km_p, km_n, km_dt = eval_lib.evaluate_kmeans(
+        jax.jit(latent_step), trainer.state.params, dm,
+        temperature=trainer.current_temperature(),
+        batch_stats=trainer.state.batch_stats,
+    )
+    return (
+        {k: float(v) for k, v in vm.items()},
+        {"purity": float(km_p), "nmi": float(km_n), "dt": float(km_dt)},
+    )
 
 
 # shared by worker and the parent's single-process control run

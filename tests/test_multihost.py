@@ -72,6 +72,14 @@ def test_two_process_training_runs(multihost_results):
     # GLOBAL metrics
     assert r0["purity"] == pytest.approx(r1["purity"])
     assert r0["nmi"] == pytest.approx(r1["nmi"])
+    # the gathered val/* loss tags and kmeans metrics are global too
+    assert r0["val_metrics"].keys() == r1["val_metrics"].keys()
+    assert set(r0["val_metrics"]) >= {
+        "val/accuracy", "val/som_loss", "val/recon_loss", "val/total_loss"
+    }
+    for k in r0["val_metrics"]:
+        assert r0["val_metrics"][k] == pytest.approx(r1["val_metrics"][k])
+    assert r0["kmeans"]["purity"] == pytest.approx(r1["kmeans"]["purity"])
 
 
 def test_two_process_matches_single_process(multihost_results):
@@ -84,7 +92,7 @@ def test_two_process_matches_single_process(multihost_results):
 
     sys.path.insert(0, os.path.join(REPO, "tests"))
     try:
-        from _multihost_worker import MULTIHOST_TEST_OVERRIDES
+        from _multihost_worker import MULTIHOST_TEST_OVERRIDES, _extra_evals
     finally:
         sys.path.pop(0)
 
@@ -104,3 +112,10 @@ def test_two_process_matches_single_process(multihost_results):
     ours = [v for _, v in trainer.logger.history["train/total_loss"]]
     theirs = [v for _, v in r0["history_total_loss"]]
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+    # sharded validation_metrics / evaluate_kmeans match the single-process
+    # evaluators on the same trained params (f32 CPU tolerance; kmeans
+    # cluster boundaries can flip on low-bit latent differences)
+    vm, km = _extra_evals(trainer, dm)
+    for k, v in vm.items():
+        assert r0["val_metrics"][k] == pytest.approx(v, rel=1e-3, abs=1e-4)
+    assert r0["kmeans"]["purity"] == pytest.approx(km["purity"], abs=0.05)

@@ -98,17 +98,21 @@ class DataModule:
     @property
     def uint8_scale_static(self) -> bool:
         """True when the static train transform is exactly uint8 -> /255
-        (the mnist-family ToTensor path): the dataset can live in HBM as
-        RAW uint8 — 4x less HBM traffic per epoch gather — with the /255
-        normalize fused into the compiled epoch (bit-identical floats:
-        both paths compute float32(x) / 255.0)."""
+        (the mnist-family ToTensor path): the dataset can cross the tunnel
+        as RAW uint8 (4x smaller transfer) with the /255 materialized on
+        device."""
+        return self._uint8_scale_split(self.train)
+
+    def _uint8_scale_split(self, split: Split) -> bool:
+        """Per-split variant of :attr:`uint8_scale_static` (val/test splits
+        of the same dataset qualify too)."""
         return (
             self.is_static
             and self.cfg.data.uint8_hbm
             and self.cfg.data.dataset in ("mnist", "fmnist", "usps")
-            and isinstance(self.train.x, np.ndarray)
-            and self.train.x.dtype == np.uint8
-            and self.train.x.ndim == 4
+            and isinstance(split.x, np.ndarray)
+            and split.x.dtype == np.uint8
+            and split.x.ndim == 4
         )
 
     def raw_device_arrays(self, split: Split, mesh=None):
@@ -148,6 +152,25 @@ class DataModule:
         cached = getattr(split, "_device_cache", {}).get(train_mode)
         if cached is not None:
             return cached
+        if self._uint8_scale_split(split):
+            # mnist-family /255-only transform: ship RAW uint8 across the
+            # tunnel (4x smaller transfer) and materialize f32 on device.
+            # XLA lowers /255 to multiply-by-reciprocal (<=1 ULP vs numpy's
+            # correctly-rounded divide), so this device buffer is the ONE
+            # canonical dataset: fit, train-time eval and restored-
+            # checkpoint eval all read it — self-consistent numerics, no
+            # duplicate f32 upload. Train and eval transforms are identical
+            # here, so both cache keys share the buffer.
+            images_u8, labels = self.raw_device_arrays(split, mesh=mesh)
+            images = jax.jit(lambda v: v.astype(jnp.float32) / 255.0)(
+                images_u8
+            )
+            result = (images, labels)
+            if not hasattr(split, "_device_cache"):
+                split._device_cache = {}
+            split._device_cache[True] = result
+            split._device_cache[False] = result
+            return result
         if jax.process_count() > 1:
             from vitsom_tpu.parallel import distributed as dist
 

@@ -318,18 +318,34 @@ def validation_metrics(
         bs = dm.cfg.batch_size
         images, labels = jnp.asarray(x), jnp.asarray(y.astype(np.int32))
         res = _batched_device_eval(
-            eval_step, lp, images, labels, bs, lt, keys=("logits",),
+            eval_step, lp, images, labels, bs, lt,
+            keys=("logits", "cls_loss", "som_loss", "recon_loss", "total_loss"),
             batch_stats=lbs,
         )
         y_pred_local = np.argmax(res["logits"], axis=-1)
+        # per-batch loss means gather alongside predictions so multi-host
+        # runs emit the same val/* tags as single-host (spans are equal-
+        # sized, so the mean of per-process means is the global mean; a
+        # ragged tail batch carries the pad rows, same caveat as the
+        # single-host drop_last=False path)
+        local_losses = {
+            # 1-element arrays: tiled allgather concatenates along axis 0
+            k: np.asarray([np.mean(v)], dtype=np.float32)
+            for k, v in res.items()
+            if k.endswith("_loss")
+        }
         g = multihost_utils.process_allgather(
-            {"pred": y_pred_local, "true": np.asarray(y)}, tiled=True
+            {"pred": y_pred_local, "true": np.asarray(y), **local_losses},
+            tiled=True,
         )
-        return {
+        out = {
             "val/accuracy": float(
                 np.mean(np.asarray(g["pred"]) == np.asarray(g["true"]))
             )
         }
+        for k in local_losses:
+            out[f"val/{k}"] = float(np.mean(np.asarray(g[k])))
+        return out
     t = temperature if temperature is not None else jnp.asarray(1.0)
     drop_last = len(split) >= dm.cfg.batch_size
     if isinstance(split.x, np.ndarray) and split.x.dtype != object:
@@ -384,19 +400,23 @@ def evaluate_kmeans(
 
         from vitsom_tpu.eval import metrics
 
-        start = time.time()
         t = temperature if temperature is not None else jnp.asarray(1.0)
-        outs, y_true, _ = _multihost_span_eval(
+        # span_dt is the timed (post-warm) forward + allgather; the timer
+        # here covers only the host-side KMeans fit — starting it before
+        # _multihost_span_eval double-counts the forward (the span eval runs
+        # once to warm, once timed)
+        outs, y_true, span_dt = _multihost_span_eval(
             latent_fn, params, dm, dm.train, True, t, batch_stats,
             keys=("latent",),
         )
+        start = time.time()
         x = outs["latent"].reshape(len(y_true), -1)
         k = n_clusters or len(np.unique(y_true))
         km = KMeans(n_clusters=k, random_state=0, n_init=10)
         y_pred = km.fit_predict(x)
         p = metrics.purity(y_true, y_pred)
         n = metrics.nmi(y_true, y_pred)
-        dt = time.time() - start
+        dt = span_dt + (time.time() - start)
         print(
             f"Purity (KMeans): {p:.3f}, NMI (KMeans): {n:.3f}, "
             f"Inference Time: {dt:.3f}"

@@ -496,11 +496,12 @@ class Trainer:
                 carry, (means, lasts) = jax.lax.scan(outer, carry, ekeys)
                 return carry, means, lasts
 
+            donate = (0,) if self.cfg.train.donate_state else ()
             if os.environ.get("VITSOM_NO_OUT_SHARDINGS"):
-                return jax.jit(epoch_fn_val, donate_argnums=(0,))
+                return jax.jit(epoch_fn_val, donate_argnums=donate)
             ss = self._state_sharding
             return jax.jit(
-                epoch_fn_val, donate_argnums=(0,), out_shardings=(ss, ss, ss)
+                epoch_fn_val, donate_argnums=donate, out_shardings=(ss, ss, ss)
             )
 
         def epoch_fn(state, key, images, labels):
@@ -512,12 +513,13 @@ class Trainer:
             state, (means, lasts) = jax.lax.scan(outer, state, ekeys)
             return state, means, lasts
 
+        donate = (0,) if self.cfg.train.donate_state else ()
         if os.environ.get("VITSOM_NO_OUT_SHARDINGS"):
             # A/B escape hatch (experiments/ab_dispatch.py): out_shardings
             # pins the cache key but may change XLA's output buffer choices
-            return jax.jit(epoch_fn, donate_argnums=(0,))
+            return jax.jit(epoch_fn, donate_argnums=donate)
         ss = self._state_sharding
-        return jax.jit(epoch_fn, donate_argnums=(0,), out_shardings=(ss, ss, ss))
+        return jax.jit(epoch_fn, donate_argnums=donate, out_shardings=(ss, ss, ss))
 
     def _build_chunk_fn(self, k: int):
         """Jitted K-step scan over a stacked [K, bs, ...] batch chunk
@@ -556,22 +558,28 @@ class Trainer:
                 # measured ~0.15 s/epoch SLOWER (u8 1.00 vs f32 0.85
                 # aggregate, same window): TPU random-row gathers on 8-bit
                 # data lose more than the 4x traffic saving buys.
-                images_u8, labels = self.dm.raw_device_arrays(
-                    self.dm.train, mesh=self.mesh
-                )
-                # /255 in f32 (correct rounding), then the configured
-                # storage dtype: bf16 halves the per-epoch gather traffic
-                hbm_dtype = (
-                    jnp.bfloat16
-                    if cfg.data.hbm_dtype == "bfloat16"
-                    else jnp.float32
-                )
-                images = jax.jit(
-                    lambda x: (x.astype(jnp.float32) / 255.0).astype(
-                        hbm_dtype
+                if cfg.data.hbm_dtype == "bfloat16":
+                    # bf16 storage halves the per-epoch gather traffic;
+                    # NOT cached on the split — eval keeps f32 numerics
+                    images_u8, labels = self.dm.raw_device_arrays(
+                        self.dm.train, mesh=self.mesh
                     )
-                )(images_u8)
-                images_u8 = None
+                    images = jax.jit(
+                        lambda x: (x.astype(jnp.float32) / 255.0).astype(
+                            jnp.bfloat16
+                        )
+                    )(images_u8)
+                    images_u8 = None
+                else:
+                    # device_arrays does the u8-over-tunnel upload + device
+                    # /255 itself and caches the f32 buffer on the split,
+                    # so the post-training clustering eval reuses it
+                    # instead of re-transforming + re-uploading the full
+                    # split (~263 MB of tunnel time for a 70k split,
+                    # INSIDE the timed protocol)
+                    images, labels = self.dm.device_arrays(
+                        self.dm.train, train_mode=True, mesh=self.mesh
+                    )
                 aug_fn = None
             elif self.dm.is_static:
                 images, labels = self.dm.device_arrays(
