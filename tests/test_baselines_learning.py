@@ -85,6 +85,31 @@ def test_swin_learns_fixed_batch():
     )
 
 
+def test_swin_bf16_learns_fixed_batch():
+    """train.compute_dtype=bfloat16 swin (mixed precision: bf16 blocks, f32
+    params/LN-stats/attention-softmax/head) must learn like the f32 model —
+    guards the dtype threading added for the TPU benchmark recipe."""
+    rng = np.random.default_rng(0)
+    batch = _fixed_batch(rng, 16, 32, 32, 3)
+    _overfit(
+        "configs/swin/swin_cifar-10.yaml",
+        {
+            "batch_size": 16,
+            "total_epochs": 10,
+            "swin.embed_dim": 24,
+            "swin.depths": [1, 1],
+            "swin.num_heads": [2, 4],
+            "optimizer.scheduler": "constant",
+            "optimizer.warmup_epochs": 0,
+            "optimizer.lr": 0.003,
+            "train.compute_dtype": "bfloat16",
+        },
+        batch,
+        n_steps=60,
+        min_drop=0.3,
+    )
+
+
 def test_deit_learns_fixed_batch():
     rng = np.random.default_rng(1)
     batch = _fixed_batch(rng, 16, 32, 32, 3)

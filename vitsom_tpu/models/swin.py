@@ -15,7 +15,7 @@ MXU; the roll for shifted windows is a lax-level rotate.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -92,17 +92,25 @@ class WindowAttention(nn.Module):
     dim: int
     window: int
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
         bnw, n, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
-        qkv = nn.Dense(self.dim * 3, use_bias=True, kernel_init=trunc_or_normal(0.02))(x)
+        qkv = nn.Dense(
+            self.dim * 3, use_bias=True, kernel_init=trunc_or_normal(0.02),
+            dtype=self.dtype,
+        )(x)
         qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # [bnw, H, n, hd]
 
-        attn = (q @ k.transpose(0, 1, 3, 2)) * scale  # [bnw, H, n, n]
+        # scores accumulate in f32 regardless of compute dtype (the windows
+        # are tiny, n<=16 — softmax/bias math stays f32 for free)
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) * scale  # [bnw, H, n, n] f32
 
         table = self.param(
             "rel_bias_table",
@@ -119,9 +127,15 @@ class WindowAttention(nn.Module):
             attn = attn + mask[None, :, None, :, :]
             attn = attn.reshape(bnw, self.num_heads, n, n)
 
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = (attn @ v).transpose(0, 2, 1, 3).reshape(bnw, n, c)
-        return nn.Dense(self.dim, kernel_init=trunc_or_normal(0.02))(out)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum(
+            "bhnm,bhmd->bhnd", attn, v.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
+        return nn.Dense(
+            self.dim, kernel_init=trunc_or_normal(0.02), dtype=self.dtype
+        )(out)
 
 
 class SwinBlock(nn.Module):
@@ -132,6 +146,7 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -141,7 +156,10 @@ class SwinBlock(nn.Module):
 
         b, n, c = x.shape
         shortcut = x
-        x = nn.LayerNorm(epsilon=LN_EPS)(x).reshape(b, h, w_dim, c)
+        # LN statistics compute in f32 internally; output in compute dtype
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x).reshape(
+            b, h, w_dim, c
+        )
 
         # pad to window multiples (odd resolutions, e.g. 7x7 with window 4)
         pad_h = (window - h % window) % window
@@ -157,7 +175,9 @@ class SwinBlock(nn.Module):
             mask = None
 
         xw = window_partition(x, window)
-        xw = WindowAttention(self.dim, window, self.num_heads)(xw, mask)
+        xw = WindowAttention(
+            self.dim, window, self.num_heads, dtype=self.dtype
+        )(xw, mask)
         x = window_reverse(xw, window, hp, wp)
 
         if shift > 0:
@@ -167,16 +187,22 @@ class SwinBlock(nn.Module):
         x = x.reshape(b, n, c)
 
         x = shortcut + DropPath(self.drop_path)(x, deterministic)
-        y = nn.LayerNorm(epsilon=LN_EPS)(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), kernel_init=trunc_or_normal(0.02))(y)
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
+        y = nn.Dense(
+            int(self.dim * self.mlp_ratio), kernel_init=trunc_or_normal(0.02),
+            dtype=self.dtype,
+        )(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, kernel_init=trunc_or_normal(0.02))(y)
+        y = nn.Dense(
+            self.dim, kernel_init=trunc_or_normal(0.02), dtype=self.dtype
+        )(y)
         return x + DropPath(self.drop_path)(y, deterministic)
 
 
 class PatchMerging(nn.Module):
     dim: int
     input_resolution: Tuple[int, int]
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -190,8 +216,11 @@ class PatchMerging(nn.Module):
             axis=-1,
         )
         x = x.reshape(b, -1, 4 * c)
-        x = nn.LayerNorm(epsilon=LN_EPS)(x)
-        return nn.Dense(2 * self.dim, use_bias=False, kernel_init=trunc_or_normal(0.02))(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
+        return nn.Dense(
+            2 * self.dim, use_bias=False, kernel_init=trunc_or_normal(0.02),
+            dtype=self.dtype,
+        )(x)
 
 
 class SwinTransformer(nn.Module):
@@ -205,6 +234,7 @@ class SwinTransformer(nn.Module):
     window: int = 7
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.1
+    dtype: Any = jnp.float32  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -214,10 +244,11 @@ class SwinTransformer(nn.Module):
             strides=(self.patch_size, self.patch_size),
             padding="VALID",
             kernel_init=trunc_or_normal(0.02),
+            dtype=self.dtype,
         )(x)
         b, h, w_dim, c = x.shape
         x = x.reshape(b, h * w_dim, c)
-        x = nn.LayerNorm(epsilon=LN_EPS)(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
 
         total_blocks = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total_blocks)
@@ -234,19 +265,28 @@ class SwinTransformer(nn.Module):
                     shift=0 if i % 2 == 0 else self.window // 2,
                     mlp_ratio=self.mlp_ratio,
                     drop_path=float(dpr[blk]),
+                    dtype=self.dtype,
                 )(x, deterministic)
                 blk += 1
             if stage < len(self.depths) - 1:
-                x = PatchMerging(dim, res)(x)
+                x = PatchMerging(dim, res, dtype=self.dtype)(x)
                 res = ((res[0] + 1) // 2, (res[1] + 1) // 2)
                 dim *= 2
 
+        # final LN / pool / head in f32 (default-dtype modules upcast the
+        # bf16 stream) so logits and the CE loss keep full precision
         x = nn.LayerNorm(epsilon=LN_EPS)(x)
         x = x.mean(axis=1)  # global average pool
         return nn.Dense(self.num_classes, kernel_init=trunc_or_normal(0.02))(x)
 
 
 def build_swin(cfg: Config) -> SwinTransformer:
+    """``train.compute_dtype: bfloat16`` switches block compute to bf16
+    mixed precision (params/LN stats/attention scores/softmax/head stay
+    f32), mirroring the ViT family's opt-in."""
+    dtype = (
+        jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    )
     return SwinTransformer(
         img_size=cfg.data.input_size,
         patch_size=cfg.swin.patch_size,
@@ -257,4 +297,5 @@ def build_swin(cfg: Config) -> SwinTransformer:
         num_heads=tuple(cfg.swin.num_heads),
         window=cfg.swin.window_size,
         mlp_ratio=float(cfg.swin.mlp_ratio),
+        dtype=dtype,
     )
