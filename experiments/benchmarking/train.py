@@ -93,6 +93,7 @@ def main(argv=None):
 
     states_dir = os.path.join(cfg.train.checkpoint_dir, cfg.model_arch)
     timing = bool(os.environ.get("VITSOM_TIMING"))
+    memory_analysis = None
     for run in range(n_runs):
         print(f"Starting run {run + 1} for {dataset_name}...")
         start = time.time()
@@ -132,6 +133,14 @@ def main(argv=None):
         all_metrics["inference_time"].append(metrics["inference_time"])
         all_metrics["images_per_sec_per_chip"].append(fit_result["images_per_sec_per_chip"])
         all_metrics["peak_memory_gb"].append(fit_result["peak_memory_gb"])
+        if run == 0 and os.environ.get("VITSOM_MEMORY_ANALYSIS"):
+            # static AOT memory accounting of the epoch program (run AFTER
+            # run_duration is captured — the re-lower is outside the timed
+            # region); comparable to the reference's max_memory_allocated
+            # rows, unlike the live-arrays lower bound
+            memory_analysis = trainer.memory_analysis()
+            if memory_analysis:
+                print(f"# memory_analysis: {json.dumps(memory_analysis)}")
         if fit_result.get("memory_metric") != "peak_bytes_in_use":
             print(
                 "NOTE: memory figure is summed live arrays (a LOWER BOUND), "
@@ -149,8 +158,11 @@ def main(argv=None):
             print(f"{key.capitalize()} Mean (Std): {mean:.4f} ({std:.4f})")
 
     if args.json_out:
+        payload = {k: list(map(float, v)) for k, v in all_metrics.items() if v}
+        if memory_analysis:
+            payload["memory_analysis"] = memory_analysis
         with open(args.json_out, "w") as f:
-            json.dump({k: list(map(float, v)) for k, v in all_metrics.items() if v}, f, indent=2)
+            json.dump(payload, f, indent=2)
     return agg
 
 

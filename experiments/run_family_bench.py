@@ -115,6 +115,12 @@ ROWS = {
         "config": "configs/deit/deit_cifar-10.yaml",
         "baseline_s": 4135.05,
         "baseline_infer_s": 0.912,
+        # quality row is architecture-parity only: no resnet50.pth exists in
+        # this zero-egress image, so the frozen teacher is randomly
+        # initialized (loud startup warning, models/deit.py:168-178);
+        # the wall-clock comparison is unaffected (identical FLOPs)
+        "note": "teacher randomly initialized (no resnet50.pth on disk); "
+                "quality is architecture-parity only",
         "overrides": [
             "data.synthetic_size=50000",
             "train.compute_dtype=bfloat16",
@@ -170,22 +176,39 @@ def warm_one(name: str, spec: dict, timeout: int = 600) -> dict:
     }
 
 
+def git_sha() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
 def run_one(name: str, spec: dict) -> dict:
     os.makedirs(OUT_DIR, exist_ok=True)
     out_json = os.path.join(OUT_DIR, f"{name}.json")
     cmd = build_cmd(name, spec, out_json)
-    env = dict(os.environ, VITSOM_TIMING="1")
+    env = dict(os.environ, VITSOM_TIMING="1", VITSOM_MEMORY_ANALYSIS="1")
+    log_path = os.path.join(OUT_DIR, f"{name}.log")
     t0 = time.time()
     try:
         proc = subprocess.run(
             cmd, cwd=REPO, env=env, capture_output=True, text=True,
             timeout=4 * 3600,
         )
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
         # record an error row instead of aborting the whole unattended sweep
-        # (the tunnel is documented to stall compiles for 10+ minutes)
-        return {"name": name, "error": "timeout after 4h"}
-    log_path = os.path.join(OUT_DIR, f"{name}.log")
+        # (the tunnel is documented to stall compiles for 10+ minutes) —
+        # but keep the partial output: it's the only diagnostic of a stall.
+        # TimeoutExpired carries raw bytes even under text=True on POSIX.
+        def _s(v):
+            return v.decode(errors="replace") if isinstance(v, bytes) else (v or "")
+
+        with open(log_path, "w") as f:
+            f.write(_s(e.stdout) + "\n--- stderr ---\n" + _s(e.stderr))
+        return {"name": name, "error": "timeout after 4h", "log": log_path}
     with open(log_path, "w") as f:
         f.write(proc.stdout + "\n--- stderr ---\n" + proc.stderr)
     if proc.returncode != 0:
@@ -195,6 +218,9 @@ def run_one(name: str, spec: dict) -> dict:
     row = {
         "name": name,
         "config": spec["config"],
+        "git_sha": git_sha(),
+        "overrides": spec.get("overrides", []),
+        **({"note": spec["note"]} if "note" in spec else {}),
         "run_duration_s": res["run_duration"][0],
         "vs_baseline": spec["baseline_s"] / res["run_duration"][0],
         "inference_time_s": res["inference_time"][0],
@@ -208,6 +234,8 @@ def run_one(name: str, spec: dict) -> dict:
     for k in ("purity", "nmi", "accuracy"):
         if res.get(k):
             row[k] = res[k][0]
+    if res.get("memory_analysis"):
+        row["memory_analysis"] = res["memory_analysis"]
     return row
 
 
@@ -249,10 +277,21 @@ def main():
         # degrade for minutes at a time — a worse re-run says nothing new)
         with open(os.path.join(OUT_DIR, "attempts.jsonl"), "a") as f:
             f.write(json.dumps(row) + "\n")
+        # keep-best only applies across attempts of the SAME code + recipe
+        # (git SHA + overrides) — a prior row measured on older code can be
+        # stale (e.g. swin rows timed before compute_dtype was actually
+        # threaded into the model, ADVICE r3); attempts.jsonl keeps history
         prev = summary.get(name)
+        if prev and "error" not in prev and "error" in row:
+            # never clobber a good row with an error row; the failed
+            # attempt is preserved in attempts.jsonl
+            print(f"keeping prior {name} row (new attempt errored)", flush=True)
+            continue
         if (
             prev
             and "error" not in prev
+            and prev.get("git_sha") == row.get("git_sha")
+            and prev.get("overrides") == row.get("overrides")
             and prev.get("vs_baseline", 0) >= row.get("vs_baseline", 0)
         ):
             print(

@@ -43,6 +43,25 @@ def test_synthetic_deterministic():
     np.testing.assert_array_equal(a.train_y, b.train_y)
 
 
+def test_synthetic_native_size():
+    """Synthetic stand-ins are generated at the real dataset's STORED
+    resolution, not input_size: cifar-10 sources are 32x32 even when the
+    config upsizes to 224 (mobile_vit), mirroring the reference's
+    store-small/resize-in-transform layout (/root/reference/data/data.py:
+    254-315). Generating at 224 made a 7.5 GB device-resident u8 buffer
+    that OOM'd the chip (family_bench_r3/mobile_vit.log)."""
+    import dataclasses
+
+    base = cls_cfg().data
+    big = make_synthetic(dataclasses.replace(base, input_size=224, synthetic_size=64))
+    assert big.train_x.shape[1:] == (32, 32, 3)
+    # unknown dataset names still follow input_size (pure-synthetic tests)
+    syn = make_synthetic(
+        dataclasses.replace(base, dataset="synthetic", input_size=24, synthetic_size=64)
+    )
+    assert syn.train_x.shape[1:] == (24, 24, 3)
+
+
 def test_synthetic_overlap_mode():
     """synthetic_overlap > 0 produces genuinely confusable classes: even the
     label-supervised nearest-centroid classifier misclassifies a tunable

@@ -328,6 +328,20 @@ def load_tiny_imagenet(data_dir: str) -> ArraySplits:
 # ---------------------------------------------------------------------------
 
 
+# Stored resolution of each real dataset's source files: the synthetic
+# stand-in must be generated at THIS size, not ``data.input_size`` — the
+# reference stores e.g. CIFAR-10 at 32x32 and lets the transform stack
+# resize to input_size (``/root/reference/data/data.py:254-315``), so a
+# config like mobile_vit's input_size=224 over cifar-10 means a 32->224
+# RandomResizedCrop per batch, NOT a 224-native dataset. Generating at
+# input_size both broke parity and OOM'd the chip (50k x 224^2 x 3 u8 =
+# 7.5 GB resident dataset buffer, family_bench_r3/mobile_vit.log).
+_NATIVE_HW = {
+    "mnist": 28, "fmnist": 28, "usps": 16, "medmnist": 28,
+    "cifar-10": 32, "cifar-100": 32, "svhn": 32, "tiny-imagenet": 64,
+}
+
+
 def make_synthetic(cfg: DataConfig, num_classes_hint: int = 10) -> ArraySplits:
     """Deterministic class-conditional blobs shaped like the real dataset.
     Classes are separable so clustering/classification metrics are
@@ -351,7 +365,8 @@ def make_synthetic(cfg: DataConfig, num_classes_hint: int = 10) -> ArraySplits:
         # _g2: generator version — bump whenever gen() numerics change so
         # stale on-disk caches (older generator streams) are never reused
         tag = (
-            f"{cfg.dataset}_{cfg.input_size}x{cfg.num_channels}"
+            f"{cfg.dataset}_{_NATIVE_HW.get(cfg.dataset, cfg.input_size)}"
+            f"x{cfg.num_channels}"
             f"_k{max(cfg.num_classes, num_classes_hint)}_n{n_train}"
             f"_ov{getattr(cfg, 'synthetic_overlap', 0.0)}_g2"
         )
@@ -368,7 +383,7 @@ def make_synthetic(cfg: DataConfig, num_classes_hint: int = 10) -> ArraySplits:
     import zlib
 
     rng = np.random.default_rng(zlib.crc32(cfg.dataset.encode()))
-    h = w = cfg.input_size
+    h = w = _NATIVE_HW.get(cfg.dataset, cfg.input_size)
     c = cfg.num_channels
 
     overlap = getattr(cfg, "synthetic_overlap", 0.0)

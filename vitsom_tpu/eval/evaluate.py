@@ -316,6 +316,12 @@ def validation_metrics(
         lbs = _to_process_local(batch_stats)
         lt = _to_process_local(t)
         bs = dm.cfg.batch_size
+        # trim each local span to whole batches, mirroring the single-host
+        # n_keep below — an untrimmed ragged tail is PADDED by the scan
+        # (repeat of row 0, label 0) and its per-batch loss mean would bias
+        # the equal-weight average the processes gather (ADVICE r3)
+        n_keep = (len(y) // bs) * bs or len(y)
+        x, y = x[:n_keep], y[:n_keep]
         images, labels = jnp.asarray(x), jnp.asarray(y.astype(np.int32))
         res = _batched_device_eval(
             eval_step, lp, images, labels, bs, lt,
@@ -325,9 +331,7 @@ def validation_metrics(
         y_pred_local = np.argmax(res["logits"], axis=-1)
         # per-batch loss means gather alongside predictions so multi-host
         # runs emit the same val/* tags as single-host (spans are equal-
-        # sized, so the mean of per-process means is the global mean; a
-        # ragged tail batch carries the pad rows, same caveat as the
-        # single-host drop_last=False path)
+        # sized, so the mean of per-process means is the global mean)
         local_losses = {
             # 1-element arrays: tiled allgather concatenates along axis 0
             k: np.asarray([np.mean(v)], dtype=np.float32)
@@ -426,14 +430,22 @@ def evaluate_kmeans(
 
     from vitsom_tpu.eval import metrics
 
-    start = time.time()
     t = temperature if temperature is not None else jnp.asarray(1.0)
     feats, trues = [], []
     split = dm.train
     if dm.is_static:
+        # warm the latent scan (upload + compile + first-execution penalty)
+        # BEFORE the timer, matching the multihost branch and the other
+        # evaluators — otherwise the two paths report non-comparable
+        # inference times (ADVICE r3)
         images, labels = dm.device_arrays(split, train_mode=True)
         bs = dm.cfg.batch_size
         n_keep = ((len(split) // bs) * bs) or len(split)
+        _batched_device_eval(
+            latent_fn, params, images[:n_keep], labels[:n_keep], bs, t,
+            keys=("latent",), batch_stats=batch_stats,
+        )
+        start = time.time()
         res = _batched_device_eval(
             latent_fn, params, images[:n_keep], labels[:n_keep], bs, t,
             keys=("latent",), batch_stats=batch_stats,
@@ -441,6 +453,7 @@ def evaluate_kmeans(
         x = res["latent"].reshape(n_keep, -1)
         y_true = np.asarray(labels[:n_keep])
     else:
+        start = time.time()
         for batch in dm.eval_batches(split):
             o = latent_fn(params, jax.device_put(batch), t, batch_stats)
             feats.append(np.asarray(o["latent"]))
