@@ -85,6 +85,35 @@ def test_swin_learns_fixed_batch():
     )
 
 
+def test_swin_dense_attention_matches_windowed():
+    """The dense-masked window attention (models/swin.py
+    ``dense_attn_constants`` — the TPU-fast path: no roll / partition /
+    reverse, window structure as an additive mask) must reproduce the
+    classic windowed computation exactly on the SAME parameters, shifted and
+    unshifted blocks included. -1e9 cross-window entries underflow to
+    softmax weight 0, so the two formulations agree to f32 roundoff."""
+    from vitsom_tpu.models.swin import SwinTransformer
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, size=(4, 32, 32, 3)).astype(np.float32))
+    kw = dict(
+        img_size=32, patch_size=2, in_chans=3, num_classes=10,
+        embed_dim=24, depths=(2, 2), num_heads=(2, 4), window=4,
+        drop_path_rate=0.0,
+    )
+    dense = SwinTransformer(**kw)
+    windowed = SwinTransformer(**kw, force_windowed=True)
+    params = dense.init(jax.random.key(0), x, deterministic=True)["params"]
+    # identical param trees: checkpoints are path-independent
+    p2 = windowed.init(jax.random.key(0), x, deterministic=True)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    out_d = dense.apply({"params": params}, x, deterministic=True)
+    out_w = windowed.apply({"params": params}, x, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out_d), np.asarray(out_w), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_swin_bf16_learns_fixed_batch():
     """train.compute_dtype=bfloat16 swin (mixed precision: bf16 blocks, f32
     params/LN-stats/attention-softmax/head) must learn like the f32 model —

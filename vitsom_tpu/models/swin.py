@@ -15,6 +15,7 @@ MXU; the roll for shifted windows is a lax-level rotate.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -23,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vitsom_tpu.config import Config
+from vitsom_tpu.ops import attention as attention_ops
 from vitsom_tpu.utils.initializers import trunc_or_normal
 
 LN_EPS = 1e-5  # timm swin uses default LayerNorm eps
@@ -72,6 +74,74 @@ def shift_attn_mask(h: int, w_dim: int, window: int, shift: int) -> np.ndarray:
     return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
 
 
+# structural mask value for cross-window pairs in the dense formulation:
+# exp(-1e9 - rowmax) underflows to EXACTLY 0 in both f32 and bf16 softmax,
+# so a masked pair contributes nothing — the same result as never putting
+# the pair in a window matmul at all.
+_DENSE_NEG = -1.0e9
+
+
+@lru_cache(maxsize=None)
+def dense_attn_constants(
+    h: int, w_dim: int, window: int, shift: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Compile-time constants for DENSE-MASKED window attention.
+
+    TPU-native reformulation of (shifted) window attention: instead of
+    roll + 6-D partition/reverse transposes + thousands of tiny [w*w, hd]
+    batched matmuls (profiled at 51% of the Swin train step on v5e, round 4),
+    each block runs ONE plain [B, H, N, N] attention over the unrolled token
+    sequence with a static additive mask that reproduces the window
+    structure exactly:
+
+    - pairs in different (shifted) windows get -1e9 -> softmax weight exactly
+      0, identical to being excluded from the window matmul;
+    - pairs in the same window but different shift regions get the
+      reference's -100 quirk value (``shift_attn_mask`` /
+      ``/root/reference/models/swin.py`` via timm's SwinBlock);
+    - ``bias_idx`` maps every same-window pair to its relative-position
+      entry in the (2w-1)^2 trainable table (masked pairs point at entry 0,
+      which the -1e9 makes irrelevant).
+
+    The extra score FLOPs (N^2 vs nW*(w*w)^2) are MXU-friendly and tiny at
+    these resolutions; the eliminated transposes/copies are not. Requires
+    divisible resolutions (h % window == w % window == 0); SwinBlock falls
+    back to the windowed path otherwise (e.g. medmnist 7x7 with window 4,
+    where timm-style zero-padded keys participate in the softmax and the
+    dense form would not reproduce that).
+
+    Returns (mask [N, N] f32, bias_idx [N, N] int32) for N = h * w_dim.
+    """
+    assert h % window == 0 and w_dim % window == 0
+    ys, xs = np.mgrid[0:h, 0:w_dim]
+    # token (y, x) sits at rolled coords (yr, xr) after roll(-shift, -shift)
+    yr = (ys - shift) % h
+    xr = (xs - shift) % w_dim
+    wid = ((yr // window) * (w_dim // window) + (xr // window)).ravel()
+    same = wid[:, None] == wid[None, :]
+    mask = np.where(same, 0.0, _DENSE_NEG).astype(np.float32)
+    if shift:
+        # reference -100 between different regions within a shifted window
+        region_img = np.zeros((h, w_dim), np.float32)
+        cnt = 0
+        sl = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
+        for hs in sl:
+            for ws in sl:
+                region_img[hs, ws] = cnt
+                cnt += 1
+        region = region_img[yr, xr].ravel()
+        cross = same & (region[:, None] != region[None, :])
+        mask = np.where(cross, -100.0, mask).astype(np.float32)
+    iy = (yr % window).ravel()
+    ix = (xr % window).ravel()
+    rel = (
+        (iy[:, None] - iy[None, :] + window - 1) * (2 * window - 1)
+        + (ix[:, None] - ix[None, :] + window - 1)
+    )
+    bias_idx = np.where(same, rel, 0).astype(np.int32)
+    return mask, bias_idx
+
+
 class DropPath(nn.Module):
     """Stochastic depth (per-sample residual drop), timm semantics."""
 
@@ -89,13 +159,33 @@ class DropPath(nn.Module):
 
 
 class WindowAttention(nn.Module):
+    """(Shifted-)window attention, two execution paths over ONE param tree
+    (Dense_0 qkv -> rel_bias_table -> Dense_1 proj, so checkpoints are
+    path-independent):
+
+    - ``dense`` path (default for window-divisible resolutions): x is the
+      full unrolled [B, N, C] token sequence and window structure comes in
+      as a static additive mask + bias-index matrix (``dense_attn_constants``)
+      applied inside one plain multi-head attention — the TPU-fast form
+      (no roll / partition / reverse transposes, MXU-shaped matmuls, and the
+      validated ``attn_impl`` score-dtype recipes apply).
+    - windowed path (``mask`` arg, non-divisible resolutions): x is
+      [B*nW, w*w, C] with the classic per-window batched attention.
+    """
+
     dim: int
     window: int
     num_heads: int
+    attn_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        x,
+        mask: Optional[jnp.ndarray] = None,
+        dense: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    ):
         bnw, n, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
@@ -103,6 +193,31 @@ class WindowAttention(nn.Module):
             self.dim * 3, use_bias=True, kernel_init=trunc_or_normal(0.02),
             dtype=self.dtype,
         )(x)
+
+        table = self.param(
+            "rel_bias_table",
+            trunc_or_normal(0.02),
+            ((2 * self.window - 1) ** 2, self.num_heads),
+        )
+
+        if dense is not None:
+            dense_mask, bias_idx = dense  # [N, N] f32 / int32 numpy consts
+            qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,hd]
+            # [H, N, N] = per-head relative bias gathered over the full
+            # sequence + window/shift mask, one static-index take per step
+            bias = jnp.take(
+                table.T, jnp.asarray(bias_idx.ravel()), axis=1
+            ).reshape(self.num_heads, n, n)
+            bias = bias + jnp.asarray(dense_mask)[None]
+            out, _ = attention_ops.multi_head_attention(
+                q, k, v, impl=self.attn_impl, bias=bias
+            )
+            out = out.reshape(bnw, n, c).astype(self.dtype)
+            return nn.Dense(
+                self.dim, kernel_init=trunc_or_normal(0.02), dtype=self.dtype
+            )(out)
+
         qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # [bnw, H, n, hd]
 
@@ -112,11 +227,6 @@ class WindowAttention(nn.Module):
             "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
         ) * scale  # [bnw, H, n, n] f32
 
-        table = self.param(
-            "rel_bias_table",
-            trunc_or_normal(0.02),
-            ((2 * self.window - 1) ** 2, self.num_heads),
-        )
         idx = jnp.asarray(relative_position_index(self.window))
         bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
         attn = attn + bias.transpose(2, 0, 1)[None]
@@ -146,6 +256,9 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    attn_impl: str = "xla"
+    force_windowed: bool = False  # test oracle: run the windowed path even
+    # when the dense-masked formulation applies (parity tests)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -157,34 +270,47 @@ class SwinBlock(nn.Module):
         b, n, c = x.shape
         shortcut = x
         # LN statistics compute in f32 internally; output in compute dtype
-        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x).reshape(
-            b, h, w_dim, c
-        )
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
 
-        # pad to window multiples (odd resolutions, e.g. 7x7 with window 4)
-        pad_h = (window - h % window) % window
-        pad_w = (window - w_dim % window) % window
-        if pad_h or pad_w:
-            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        hp, wp = h + pad_h, w_dim + pad_w
-
-        if shift > 0:
-            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(shift_attn_mask(hp, wp, window, shift))
+        if h % window == 0 and w_dim % window == 0 and not self.force_windowed:
+            # dense-masked window attention (see dense_attn_constants): the
+            # token sequence never leaves [B, N, C] — no roll, no 6-D
+            # partition/reverse transposes. Window structure (incl. the
+            # shifted-window region quirk) is an additive mask constant.
+            x = WindowAttention(
+                self.dim, window, self.num_heads,
+                attn_impl=self.attn_impl, dtype=self.dtype,
+            )(x, dense=dense_attn_constants(h, w_dim, window, shift))
         else:
-            mask = None
+            # windowed fallback for non-divisible resolutions (e.g. medmnist
+            # 7x7 with window 4): zero-padded tokens participate as keys,
+            # exactly as timm's padding does — the dense mask cannot
+            # reproduce that, so this path is kept verbatim.
+            x = x.reshape(b, h, w_dim, c)
+            pad_h = (window - h % window) % window
+            pad_w = (window - w_dim % window) % window
+            if pad_h or pad_w:
+                x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            hp, wp = h + pad_h, w_dim + pad_w
 
-        xw = window_partition(x, window)
-        xw = WindowAttention(
-            self.dim, window, self.num_heads, dtype=self.dtype
-        )(xw, mask)
-        x = window_reverse(xw, window, hp, wp)
+            if shift > 0:
+                x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+                mask = jnp.asarray(shift_attn_mask(hp, wp, window, shift))
+            else:
+                mask = None
 
-        if shift > 0:
-            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
-        if pad_h or pad_w:
-            x = x[:, :h, :w_dim, :]
-        x = x.reshape(b, n, c)
+            xw = window_partition(x, window)
+            xw = WindowAttention(
+                self.dim, window, self.num_heads,
+                attn_impl=self.attn_impl, dtype=self.dtype,
+            )(xw, mask)
+            x = window_reverse(xw, window, hp, wp)
+
+            if shift > 0:
+                x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+            if pad_h or pad_w:
+                x = x[:, :h, :w_dim, :]
+            x = x.reshape(b, n, c)
 
         x = shortcut + DropPath(self.drop_path)(x, deterministic)
         y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
@@ -234,6 +360,8 @@ class SwinTransformer(nn.Module):
     window: int = 7
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.1
+    attn_impl: str = "xla"
+    force_windowed: bool = False
     dtype: Any = jnp.float32  # compute dtype; params stay f32
 
     @nn.compact
@@ -265,6 +393,8 @@ class SwinTransformer(nn.Module):
                     shift=0 if i % 2 == 0 else self.window // 2,
                     mlp_ratio=self.mlp_ratio,
                     drop_path=float(dpr[blk]),
+                    attn_impl=self.attn_impl,
+                    force_windowed=self.force_windowed,
                     dtype=self.dtype,
                 )(x, deterministic)
                 blk += 1
@@ -280,13 +410,18 @@ class SwinTransformer(nn.Module):
         return nn.Dense(self.num_classes, kernel_init=trunc_or_normal(0.02))(x)
 
 
-def build_swin(cfg: Config) -> SwinTransformer:
+def build_swin(cfg: Config, attn_impl: Optional[str] = None) -> SwinTransformer:
     """``train.compute_dtype: bfloat16`` switches block compute to bf16
-    mixed precision (params/LN stats/attention scores/softmax/head stay
-    f32), mirroring the ViT family's opt-in."""
+    mixed precision (params/LN stats/head stay f32), mirroring the ViT
+    family's opt-in. ``train.attn_impl`` selects the score-dtype recipe for
+    the dense-masked attention path (default 'xla': f32 scores + f32
+    softmax, the reference numerics)."""
     dtype = (
         jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
     )
+    impl = attn_impl or cfg.train.attn_impl or "xla"
+    if impl in ("pallas", "hybrid"):
+        impl = "xla"  # biased attention: the Pallas kernels don't apply
     return SwinTransformer(
         img_size=cfg.data.input_size,
         patch_size=cfg.swin.patch_size,
@@ -297,5 +432,6 @@ def build_swin(cfg: Config) -> SwinTransformer:
         num_heads=tuple(cfg.swin.num_heads),
         window=cfg.swin.window_size,
         mlp_ratio=float(cfg.swin.mlp_ratio),
+        attn_impl=impl,
         dtype=dtype,
     )

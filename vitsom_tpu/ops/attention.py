@@ -18,9 +18,14 @@ from jax.ad_checkpoint import checkpoint_name
 
 
 def xla_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, return_attn: bool = False
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, return_attn: bool = False,
+    bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """q, k, v: [B, N, H, hd] -> out [B, N, H, hd] (+ optional [B, H, N, N])."""
+    """q, k, v: [B, N, H, hd] -> out [B, N, H, hd] (+ optional [B, H, N, N]).
+
+    ``bias``: optional additive [H, N, N] (or broadcastable) term applied to
+    the scaled scores before softmax — relative-position bias + window/shift
+    masks for Swin's dense-masked window attention (models/swin.py)."""
     head_dim = q.shape[-1]
     scale = head_dim**-0.5
     # [B, H, N, N] scores, f32 accumulation on the MXU
@@ -28,6 +33,8 @@ def xla_attention(
         jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
         * scale
     )
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)[None]
     # NOTE: storing scores/probs in bf16 with f32 softmax math was tried and
     # measured ~3% SLOWER (59.7k vs 61.7k img/s, reproduced twice) — the
     # manual max/exp/sum chain reads the score tensor one extra time and the
@@ -46,7 +53,8 @@ def xla_attention(
 
 
 def xla_attention_bf16_scores(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, None]:
     """XLA attention with NATIVE bf16 score/prob tensors (softmax included).
 
@@ -73,7 +81,12 @@ def xla_attention_bf16_scores(
     # trailing convert to bf16 storage fuses into the dot's epilogue.
     scores = jnp.einsum(
         "bnhd,bmhd->bhnm", qb, kb, preferred_element_type=jnp.float32
-    ).astype(jnp.bfloat16)
+    )
+    if bias is not None:
+        # added in the f32 epilogue BEFORE the bf16 store so the bias (incl.
+        # -1e9 window masks) fuses into the dot instead of forcing an upcast
+        scores = scores + bias.astype(jnp.float32)[None]
+    scores = scores.astype(jnp.bfloat16)
     attn = jax.nn.softmax(scores, axis=-1)
     attn = checkpoint_name(attn, "attn_probs")
     out = jnp.einsum(
@@ -86,7 +99,8 @@ def xla_attention_bf16_scores(
 
 
 def xla_attention_bf16_store(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, None]:
     """bf16 score STORAGE, f32 softmax MATH (compiler-fused upcast).
 
@@ -108,7 +122,10 @@ def xla_attention_bf16_store(
     # xla_attention_bf16_scores — portability, not a TPU-only assumption)
     scores = jnp.einsum(
         "bnhd,bmhd->bhnm", qb, kb, preferred_element_type=jnp.float32
-    ).astype(jnp.bfloat16)
+    )
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)[None]
+    scores = scores.astype(jnp.bfloat16)
     attn = checkpoint_name(_softmax_f32math_bf16store(scores), "attn_probs")
     out = jnp.einsum(
         "bhnm,bmhd->bnhd",
@@ -209,6 +226,7 @@ def multi_head_attention(
     v: jnp.ndarray,
     impl: str = "xla",
     return_attn: bool = False,
+    bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Dispatch over attention implementations.
 
@@ -218,15 +236,19 @@ def multi_head_attention(
     (pallas/hybrid/xla_bf16/xla_bf16s) — it only happens in offline
     visualization, so logged attention maps are f32 even when training ran
     bf16 score numerics (covered by ``test_xla_bf16_dispatch``).
+
+    ``bias`` (additive [H, N, N] pre-softmax term — Swin dense-masked window
+    attention) is supported by the XLA impls only; pallas/hybrid fall back
+    to the equivalent XLA path when a bias is given.
     """
-    if impl == "pallas" and not return_attn:
+    if impl == "pallas" and not return_attn and bias is None:
         from vitsom_tpu.ops.attention_pallas import fused_attention
 
         return fused_attention(q, k, v), None
-    if impl == "hybrid" and not return_attn:
+    if impl == "hybrid" and not return_attn and bias is None:
         return hybrid_attention(q, k, v), None
     if impl == "xla_bf16" and not return_attn:
-        return xla_attention_bf16_scores(q, k, v)
+        return xla_attention_bf16_scores(q, k, v, bias=bias)
     if impl == "xla_bf16s" and not return_attn:
-        return xla_attention_bf16_store(q, k, v)
-    return xla_attention(q, k, v, return_attn=return_attn)
+        return xla_attention_bf16_store(q, k, v, bias=bias)
+    return xla_attention(q, k, v, return_attn=return_attn, bias=bias)
