@@ -105,9 +105,13 @@ ROWS = {
         "config": "configs/swin/swin_cifar-10.yaml",
         "baseline_s": 2935.20,
         "baseline_infer_s": 0.891,
+        # dense-masked window attention (models/swin.py) + bf16 score/prob
+        # tensors: probed r4 at 34.2 s/10 epochs steady vs 40.3 (xla f32
+        # scores) vs the r3 windowed row's 53 s/10 effective
         "overrides": [
             "data.synthetic_size=50000",
             "train.compute_dtype=bfloat16",
+            "train.attn_impl=xla_bf16",
             "train.epochs_per_dispatch=10",
         ],
     },
@@ -121,9 +125,13 @@ ROWS = {
         # the wall-clock comparison is unaffected (identical FLOPs)
         "note": "teacher randomly initialized (no resnet50.pth on disk); "
                 "quality is architecture-parity only",
+        # r4: compute_dtype is now actually threaded through the DeiT
+        # student (the r3 row's bfloat16 override was a model no-op) and
+        # attn_impl picks the bf16 score recipe
         "overrides": [
             "data.synthetic_size=50000",
             "train.compute_dtype=bfloat16",
+            "train.attn_impl=xla_bf16",
             "train.epochs_per_dispatch=10",
         ],
     },
@@ -163,8 +171,14 @@ def warm_one(name: str, spec: dict, timeout: int = 600) -> dict:
     out_json = os.path.join(OUT_DIR, f"{name}_warm.json")
     t0 = time.time()
     try:
+        # VITSOM_COMPILE_ONLY: the trainer AOT-compiles the exact epoch
+        # program(s) into the persistent cache and skips the 500-epoch run
+        # (r3 warms either ran the whole training — vit: 1744 s — or timed
+        # out mid-compile: swin/deit at 2400 s with warm_completed=false,
+        # leaving the timed run to pay residual compiles)
         proc = subprocess.run(
             build_cmd(name, spec, out_json), cwd=REPO,
+            env=dict(os.environ, VITSOM_COMPILE_ONLY="1"),
             capture_output=True, text=True, timeout=timeout,
         )
         completed, rc = True, proc.returncode

@@ -160,6 +160,58 @@ def test_deit_learns_fixed_batch():
     )
 
 
+def test_deit_bf16_learns_fixed_batch():
+    """train.compute_dtype=bfloat16 + xla_bf16 score recipe for DeiT (bf16
+    transformer/embeddings, f32 params/final-LN/heads/teacher) must learn
+    like the f32 model — guards the dtype threading added for the TPU
+    benchmark recipe (the r3 deit row's bfloat16 override was a silent
+    no-op: the model had no dtype parameter)."""
+    rng = np.random.default_rng(1)
+    batch = _fixed_batch(rng, 16, 32, 32, 3)
+    _overfit(
+        "configs/deit/deit_cifar-10.yaml",
+        {
+            "batch_size": 16,
+            "total_epochs": 10,
+            "vit.emb_dim": 32,
+            "vit.depth": 2,
+            "vit.heads": 2,
+            "optimizer.scheduler": "constant",
+            "optimizer.warmup_epochs": 0,
+            "optimizer.lr": 0.002,
+            "train.compute_dtype": "bfloat16",
+            "train.attn_impl": "xla_bf16",
+        },
+        batch,
+        n_steps=60,
+        min_drop=0.3,
+    )
+
+
+@pytest.mark.slow
+def test_mobile_vit_bf16_learns_fixed_batch():
+    """bf16 MobileViT (mixed precision convs/transformers, f32 params/BN
+    stats/pool/head) must learn and still update BN running stats."""
+    rng = np.random.default_rng(2)
+    batch = _fixed_batch(rng, 8, 64, 64, 3)
+    cfg, model, state = _overfit(
+        "configs/mobile_vit/mobile_vit_cifar-10.yaml",
+        {
+            "batch_size": 8,
+            "total_epochs": 10,
+            "data.input_size": 64,
+            "optimizer.scheduler": "constant",
+            "optimizer.lr": 0.002,
+            "train.compute_dtype": "bfloat16",
+        },
+        batch,
+        n_steps=40,
+        min_drop=0.25,
+    )
+    flat = jax.tree_util.tree_leaves(state.batch_stats)
+    assert any(float(jnp.abs(l).max()) > 1e-6 for l in flat)
+
+
 @pytest.mark.slow
 def test_mobile_vit_learns_fixed_batch():
     """MobileViT-S has no width knobs (fixed architecture); smallest viable

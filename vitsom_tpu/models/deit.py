@@ -17,7 +17,7 @@ random head, everything frozen, BatchNorm running in batch-stats mode.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -26,11 +26,20 @@ import optax
 
 from vitsom_tpu.config import Config
 from vitsom_tpu.models.resnet import resnet50
+from vitsom_tpu.ops.attention import _softmax_f32math_bf16store
 from vitsom_tpu.train import steps as steps_lib
 
 
 class PreNormTransformer(nn.Module):
-    """vit-pytorch style transformer: pre-norm attn/ff, head_dim fixed."""
+    """vit-pytorch style transformer: pre-norm attn/ff, head_dim fixed.
+
+    ``dtype`` is the block compute dtype (params stay f32, flax default
+    param_dtype); scores always accumulate in f32 on the MXU. ``attn_impl``
+    selects the validated score-dtype recipe (ops/attention): 'xla' keeps
+    f32 score/prob tensors, 'xla_bf16' stores + softmaxes them in bf16,
+    'xla_bf16s' stores bf16 with f32 softmax math. The attention keeps its
+    own materialized-prob form (rather than calling multi_head_attention)
+    because vit-pytorch applies dropout ON the probabilities."""
 
     dim: int
     depth: int
@@ -38,32 +47,50 @@ class PreNormTransformer(nn.Module):
     head_dim: int
     mlp_dim: int
     dropout: float = 0.0
+    dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         inner = self.heads * self.head_dim
+        x = x.astype(self.dtype)
         for _ in range(self.depth):
-            y = nn.LayerNorm()(x)
-            qkv = nn.Dense(inner * 3, use_bias=False)(y)
+            y = nn.LayerNorm(dtype=self.dtype)(x)
+            qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype)(y)
             b, n, _ = y.shape
             qkv = qkv.reshape(b, n, 3, self.heads, self.head_dim)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * self.head_dim**-0.5
-            attn = jax.nn.softmax(attn, axis=-1)
+            scores = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+            ) * self.head_dim**-0.5
+            if self.attn_impl == "xla_bf16":
+                # native bf16 score/prob tensors (softmax included) — halves
+                # HBM passes over the [B, H, N, N] tensors fwd AND bwd
+                attn = jax.nn.softmax(scores.astype(jnp.bfloat16), axis=-1)
+            elif self.attn_impl == "xla_bf16s":
+                # bf16 storage, f32 softmax math (custom-vjp keeps the
+                # backward residual bf16 too)
+                attn = _softmax_f32math_bf16store(scores.astype(jnp.bfloat16))
+            else:
+                attn = jax.nn.softmax(scores, axis=-1)
             attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
-            out = nn.Dense(self.dim)(out)
+            out = jnp.einsum(
+                "bhnm,bmhd->bnhd", attn, v.astype(attn.dtype),
+                preferred_element_type=jnp.float32,
+            ).reshape(b, n, inner).astype(self.dtype)
+            out = nn.Dense(self.dim, dtype=self.dtype)(out)
             out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
             x = x + out
 
-            y = nn.LayerNorm()(x)
-            y = nn.Dense(self.mlp_dim)(y)
+            y = nn.LayerNorm(dtype=self.dtype)(x)
+            y = nn.Dense(self.mlp_dim, dtype=self.dtype)(y)
             y = nn.gelu(y, approximate=False)
             y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
-            y = nn.Dense(self.dim)(y)
+            y = nn.Dense(self.dim, dtype=self.dtype)(y)
             y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
             x = x + y
-        return nn.LayerNorm()(x)
+        # final LN in f32: feeds the class/distill heads and the losses
+        return nn.LayerNorm()(x.astype(jnp.float32))
 
 
 class DeiT(nn.Module):
@@ -80,9 +107,18 @@ class DeiT(nn.Module):
         num_patches = (c.data.input_size // c.vit.patch_size) ** 2
         patch_dim = c.data.num_channels * c.vit.patch_size**2
 
-        self.patch_norm_pre = nn.LayerNorm()
-        self.patch_proj = nn.Dense(dim)
-        self.patch_norm_post = nn.LayerNorm()
+        # opt-in bf16 block compute (train.compute_dtype), mirroring the ViT
+        # family: embeddings + transformer run bf16, params/heads/final LN
+        # stay f32. train.attn_impl picks the score-dtype recipe.
+        dtype = (
+            jnp.bfloat16
+            if c.train.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
+        self.dtype = dtype
+        self.patch_norm_pre = nn.LayerNorm(dtype=dtype)
+        self.patch_proj = nn.Dense(dim, dtype=dtype)
+        self.patch_norm_post = nn.LayerNorm(dtype=dtype)
         self.pos_embedding = self.param(
             "pos_embedding", nn.initializers.normal(1.0), (1, num_patches + 1, dim)
         )
@@ -91,6 +127,9 @@ class DeiT(nn.Module):
             "distill_token", nn.initializers.normal(1.0), (1, 1, dim)
         )
         self.emb_dropout = nn.Dropout(c.vit.attn_drop)  # reference maps attn_drop -> emb_dropout
+        impl = c.train.attn_impl or "xla"
+        if impl in ("pallas", "hybrid"):
+            impl = "xla"  # prob-dropout attention: fused kernels don't apply
         self.transformer = PreNormTransformer(
             dim=dim,
             depth=c.vit.depth,
@@ -98,6 +137,8 @@ class DeiT(nn.Module):
             head_dim=self.head_dim,
             mlp_dim=int(dim * c.vit.mlp_ratio),
             dropout=c.vit.proj_drop,
+            dtype=dtype,
+            attn_impl=impl,
         )
         self.mlp_head = nn.Dense(c.data.num_classes)
         self.distill_norm = nn.LayerNorm()
@@ -110,15 +151,21 @@ class DeiT(nn.Module):
         x = x.reshape(b, h // p, p, w // p, p, ch).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(b, (h // p) * (w // p), p * p * ch)
         x = self.patch_norm_post(self.patch_proj(self.patch_norm_pre(x)))
-        cls = jnp.broadcast_to(self.cls_token, (b, 1, x.shape[-1]))
+        # f32 token/pos params cast to the compute dtype at the point of use
+        # (adding them raw would silently upcast the whole stream back to f32)
+        cls = jnp.broadcast_to(
+            self.cls_token.astype(x.dtype), (b, 1, x.shape[-1])
+        )
         x = jnp.concatenate([cls, x], axis=1)
-        x = x + self.pos_embedding[:, : x.shape[1]]
+        x = x + self.pos_embedding[:, : x.shape[1]].astype(x.dtype)
         return self.emb_dropout(x, deterministic=deterministic)
 
     def train_forward(self, x, deterministic: bool = False):
         b = x.shape[0]
         x = self._embed(x, deterministic)
-        dt = jnp.broadcast_to(self.distill_token, (b, 1, x.shape[-1]))
+        dt = jnp.broadcast_to(
+            self.distill_token.astype(x.dtype), (b, 1, x.shape[-1])
+        )
         x = jnp.concatenate([x, dt], axis=1)
         x = self.transformer(x, deterministic=deterministic)
         cls_out, distill_out = x[:, 0], x[:, -1]

@@ -20,7 +20,7 @@ the 7x7 stage at 224 input). BatchNorm statistics live in the standard flax
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -38,6 +38,7 @@ class ConvBnSiLU(nn.Module):
     kernel: int = 3
     stride: int = 1
     groups: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -48,9 +49,13 @@ class ConvBnSiLU(nn.Module):
             padding="SAME",
             feature_group_count=self.groups,
             use_bias=False,
+            dtype=self.dtype,
         )(x)
+        # flax BatchNorm computes mean/var statistics in f32 regardless of
+        # dtype (promote in _compute_stats); running stats stay f32 params
         x = nn.BatchNorm(
-            use_running_average=deterministic, momentum=BN_MOMENTUM, epsilon=BN_EPS
+            use_running_average=deterministic, momentum=BN_MOMENTUM,
+            epsilon=BN_EPS, dtype=self.dtype,
         )(x)
         return nn.silu(x)
 
@@ -62,18 +67,21 @@ class MV2Block(nn.Module):
     features: int
     stride: int = 1
     expansion: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         inp = x.shape[-1]
         hidden = inp * self.expansion
-        y = ConvBnSiLU(hidden, kernel=1)(x, deterministic)
-        y = ConvBnSiLU(hidden, kernel=3, stride=self.stride, groups=hidden)(
-            y, deterministic
-        )
-        y = nn.Conv(self.features, (1, 1), use_bias=False)(y)
+        y = ConvBnSiLU(hidden, kernel=1, dtype=self.dtype)(x, deterministic)
+        y = ConvBnSiLU(
+            hidden, kernel=3, stride=self.stride, groups=hidden,
+            dtype=self.dtype,
+        )(y, deterministic)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(y)
         y = nn.BatchNorm(
-            use_running_average=deterministic, momentum=BN_MOMENTUM, epsilon=BN_EPS
+            use_running_average=deterministic, momentum=BN_MOMENTUM,
+            epsilon=BN_EPS, dtype=self.dtype,
         )(y)
         if self.stride == 1 and inp == self.features:
             y = x + y
@@ -84,19 +92,21 @@ class TransformerBlock(nn.Module):
     dim: int
     num_heads: int = 4
     mlp_ratio: float = 2.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         # x: [..., N, dim]; pre-norm MHSA + MLP (SiLU, per timm mobilevit)
-        h = nn.LayerNorm(epsilon=LN_EPS)(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
         h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.dim, deterministic=True
+            num_heads=self.num_heads, qkv_features=self.dim,
+            deterministic=True, dtype=self.dtype,
         )(h, h)
         x = x + h
-        h = nn.LayerNorm(epsilon=LN_EPS)(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio))(h)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(h)
         h = nn.silu(h)
-        h = nn.Dense(self.dim)(h)
+        h = nn.Dense(self.dim, dtype=self.dtype)(h)
         return x + h
 
 
@@ -123,6 +133,7 @@ class MobileViTBlock(nn.Module):
     depth: int
     patch_size: int = 2
     mlp_ratio: float = 2.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -130,8 +141,12 @@ class MobileViTBlock(nn.Module):
         residual = x
 
         # local representation
-        y = ConvBnSiLU(self.channels, kernel=3)(x, deterministic)
-        y = nn.Conv(self.transformer_dim, (1, 1), use_bias=False)(y)
+        y = ConvBnSiLU(self.channels, kernel=3, dtype=self.dtype)(
+            x, deterministic
+        )
+        y = nn.Conv(
+            self.transformer_dim, (1, 1), use_bias=False, dtype=self.dtype
+        )(y)
 
         # resize to patch multiples when needed (timm: 7x7 stage at 224)
         b, h, w, d = y.shape
@@ -142,18 +157,23 @@ class MobileViTBlock(nn.Module):
 
         tokens, hw = _unfold(y, p)
         for _ in range(self.depth):
-            tokens = TransformerBlock(self.transformer_dim, mlp_ratio=self.mlp_ratio)(
-                tokens
-            )
-        tokens = nn.LayerNorm(epsilon=LN_EPS)(tokens)
+            tokens = TransformerBlock(
+                self.transformer_dim, mlp_ratio=self.mlp_ratio,
+                dtype=self.dtype,
+            )(tokens)
+        tokens = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(tokens)
         y = _fold(tokens, p, hw)
         if resized:
             y = jax.image.resize(y, (b, h, w, d), method="bilinear")
 
         # project back + fuse with the residual input
-        y = ConvBnSiLU(self.channels, kernel=1)(y, deterministic)
+        y = ConvBnSiLU(self.channels, kernel=1, dtype=self.dtype)(
+            y, deterministic
+        )
         y = jnp.concatenate([residual, y], axis=-1)
-        y = ConvBnSiLU(self.channels, kernel=3)(y, deterministic)
+        y = ConvBnSiLU(self.channels, kernel=3, dtype=self.dtype)(
+            y, deterministic
+        )
         return y
 
 
@@ -162,31 +182,42 @@ class MobileViTS(nn.Module):
     (128 + ViT d4/192), (160 + ViT d3/240); head conv 640 -> pool -> fc."""
 
     num_classes: int = 1000
+    dtype: Any = jnp.float32  # compute dtype; params/BN stats stay f32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = ConvBnSiLU(16, kernel=3, stride=2)(x, deterministic)
-        x = MV2Block(32, stride=1)(x, deterministic)
+        dt = self.dtype
+        x = ConvBnSiLU(16, kernel=3, stride=2, dtype=dt)(x, deterministic)
+        x = MV2Block(32, stride=1, dtype=dt)(x, deterministic)
 
-        x = MV2Block(64, stride=2)(x, deterministic)
-        x = MV2Block(64, stride=1)(x, deterministic)
-        x = MV2Block(64, stride=1)(x, deterministic)
+        x = MV2Block(64, stride=2, dtype=dt)(x, deterministic)
+        x = MV2Block(64, stride=1, dtype=dt)(x, deterministic)
+        x = MV2Block(64, stride=1, dtype=dt)(x, deterministic)
 
-        x = MV2Block(96, stride=2)(x, deterministic)
-        x = MobileViTBlock(96, 144, depth=2)(x, deterministic)
+        x = MV2Block(96, stride=2, dtype=dt)(x, deterministic)
+        x = MobileViTBlock(96, 144, depth=2, dtype=dt)(x, deterministic)
 
-        x = MV2Block(128, stride=2)(x, deterministic)
-        x = MobileViTBlock(128, 192, depth=4)(x, deterministic)
+        x = MV2Block(128, stride=2, dtype=dt)(x, deterministic)
+        x = MobileViTBlock(128, 192, depth=4, dtype=dt)(x, deterministic)
 
-        x = MV2Block(160, stride=2)(x, deterministic)
-        x = MobileViTBlock(160, 240, depth=3)(x, deterministic)
+        x = MV2Block(160, stride=2, dtype=dt)(x, deterministic)
+        x = MobileViTBlock(160, 240, depth=3, dtype=dt)(x, deterministic)
 
-        x = ConvBnSiLU(640, kernel=1)(x, deterministic)
-        x = jnp.mean(x, axis=(1, 2))
+        x = ConvBnSiLU(640, kernel=1, dtype=dt)(x, deterministic)
+        # pool + head in f32 so logits/CE keep full precision
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         return nn.Dense(self.num_classes)(x)
 
 
 def build_mobilevit_s(cfg: Config) -> MobileViTS:
     """From config (reference forces input_size 224 in the mobile_vit
-    configs; any multiple of 2 works here)."""
-    return MobileViTS(num_classes=cfg.data.num_classes)
+    configs; any multiple of 2 works here). ``train.compute_dtype:
+    bfloat16`` switches conv/transformer compute to bf16 mixed precision
+    (params, BN running stats, pool/head stay f32), mirroring the other
+    families' opt-in."""
+    dtype = (
+        jnp.bfloat16
+        if cfg.train.compute_dtype == "bfloat16"
+        else jnp.float32
+    )
+    return MobileViTS(num_classes=cfg.data.num_classes, dtype=dtype)

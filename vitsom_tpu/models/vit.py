@@ -234,9 +234,13 @@ class ViTAutoencoder(nn.Module):
         x = self.patch_proj(x)  # [B, h, w, D]
         b = x.shape[0]
         x = x.reshape(b, -1, self.embed_dim)
-        x = x + self._pos_embed[:, 1:, :]
+        # cast the f32 sincos table to the compute dtype at the point of use:
+        # adding it raw promotes the RESIDUAL STREAM (and every block's
+        # residual add / LN input / backward residual after it) to f32 —
+        # profiled at ~16% of the bf16 cls step as f32-activation dot fusions
+        x = x + self._pos_embed[:, 1:, :].astype(self.dtype)
 
-        cls = self.cls_token + self._pos_embed[:, :1, :]
+        cls = (self.cls_token + self._pos_embed[:, :1, :]).astype(self.dtype)
         cls = jnp.broadcast_to(cls, (b, 1, self.embed_dim))
         x = jnp.concatenate([cls, x], axis=1)
 
@@ -259,7 +263,8 @@ class ViTAutoencoder(nn.Module):
         """Token sequence [B, 1+N, D] -> per-patch pixel predictions
         [B, N, p*p*C] (reference ``models/vit.py:182-200``)."""
         d = self.decoder_embed(tokens)
-        d = d + self._dec_pos_embed
+        d = d + self._dec_pos_embed.astype(self.dtype)  # keep the stream in
+        # the compute dtype (see encode_tokens)
         attns = [] if return_attn else None
         for blk in self.decoder_blocks:
             d, attn = blk(d, return_attn)  # positional: remat static_argnums

@@ -678,9 +678,34 @@ class Trainer:
             pending = []  # (start_epoch, n, mean_ms device tree)
             dispatch_host_s = []  # host-side time per dispatch (compile shows
             # up in the first; steady entries ~0 when deferred)
+            compile_only = bool(os.environ.get("VITSOM_COMPILE_ONLY"))
+            if compile_only:
+                # Scoreboard warm mode (run_family_bench.warm_one): AOT-
+                # compile the exact epoch program(s) the timed run will
+                # dispatch — populating the persistent XLA compile cache —
+                # and skip training. A warm is then ~one compile instead of
+                # a full 500-epoch run (vit r3: 1744 s); the caller still
+                # runs the post-fit eval path, warming those programs too.
+                sizes = {min(e_disp, cfg.total_epochs)}
+                if cfg.total_epochs % e_disp:
+                    sizes.add(cfg.total_epochs % e_disp)
+                _, sub = jax.random.split(key)
+                for n in sorted(sizes):
+                    args = (
+                        (carry, sub, images, labels, *val_args)
+                        if fused_val
+                        else (self.state, sub, images, labels)
+                    )
+                    t_c = time.time()
+                    get_epoch_fn(n).lower(*args).compile()
+                    print(
+                        f"# compile-only: n={n} epoch program compiled+"
+                        f"cached in {time.time() - t_c:.1f}s",
+                        flush=True,
+                    )
             t_loop = time.time()
             epoch = 0
-            while epoch < cfg.total_epochs:
+            while not compile_only and epoch < cfg.total_epochs:
                 n = min(e_disp, cfg.total_epochs - epoch)
                 epoch_fn = get_epoch_fn(n)
                 key, sub = jax.random.split(key)
