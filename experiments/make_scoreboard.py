@@ -62,12 +62,19 @@ def main():
             print(f"| {label} | {base_s:.1f} s | (not recorded) | | | | | |")
             continue
         mem = ""
+        # prefer XLA's AOT buffer-assignment estimate (argument+output+temp
+        # minus donation aliases — trainer.memory_analysis; comparable
+        # across configs, unlike the live-arrays lower bound)
+        ma = row.get("memory_analysis") or {}
+        if ma.get("peak_gb_estimate") is not None:
+            mem = f"{ma['peak_gb_estimate']:.3f} GB (AOT est.)"
         raw_path = os.path.join(OUT_DIR, f"{name}.json")
         if os.path.exists(raw_path):
             with open(raw_path) as f:
                 raw = json.load(f)
             if raw.get("peak_memory_gb"):
-                mem = f"{raw['peak_memory_gb'][0]:.3f} GB"
+                lb = f"{raw['peak_memory_gb'][0]:.3f} GB live"
+                mem = f"{mem}; {lb}" if mem else lb
         inf = f"{row['inference_time_s']:.3f} s"
         if base_inf:
             inf += f" ({base_inf / row['inference_time_s']:.2f}× vs {base_inf} s)"

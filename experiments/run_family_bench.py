@@ -79,12 +79,19 @@ ROWS = {
             "train.epochs_per_dispatch=10",
         ],
     },
+    # All classification rows run the synthetic stand-in at
+    # data.synthetic_overlap=0.1 (tunable pairwise Bayes error,
+    # data/datasets.py): identical shapes/programs so the wall-clock
+    # comparison is unchanged, but the accuracy cell is NON-SATURATING —
+    # a recipe error that costs accuracy is visible (VERDICT r3 weak #3:
+    # every prior quality cell read exactly 1.0 and could not move).
     "vit_som_cls": {
         "config": "configs/vit_som/vit_som_cifar-10.yaml",
         "baseline_s": 2923.095,
         "baseline_infer_s": 8.471,
         "overrides": [
             "data.synthetic_size=50000",
+            "data.synthetic_overlap=0.1",
             "train.compute_dtype=bfloat16",
             "train.attn_impl=xla_bf16",
             "train.epochs_per_dispatch=10",
@@ -96,6 +103,7 @@ ROWS = {
         "baseline_infer_s": 0.620,
         "overrides": [
             "data.synthetic_size=50000",
+            "data.synthetic_overlap=0.1",
             "train.compute_dtype=bfloat16",
             "train.attn_impl=xla_bf16",
             "train.epochs_per_dispatch=10",
@@ -110,6 +118,7 @@ ROWS = {
         # scores) vs the r3 windowed row's 53 s/10 effective
         "overrides": [
             "data.synthetic_size=50000",
+            "data.synthetic_overlap=0.1",
             "train.compute_dtype=bfloat16",
             "train.attn_impl=xla_bf16",
             "train.epochs_per_dispatch=10",
@@ -130,6 +139,7 @@ ROWS = {
         # attn_impl picks the bf16 score recipe
         "overrides": [
             "data.synthetic_size=50000",
+            "data.synthetic_overlap=0.1",
             "train.compute_dtype=bfloat16",
             "train.attn_impl=xla_bf16",
             "train.epochs_per_dispatch=10",
@@ -141,6 +151,7 @@ ROWS = {
         "baseline_infer_s": 0.791,
         "overrides": [
             "data.synthetic_size=50000",
+            "data.synthetic_overlap=0.1",
             "train.compute_dtype=bfloat16",
             "train.epochs_per_dispatch=10",
         ],

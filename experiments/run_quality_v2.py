@@ -30,7 +30,16 @@ IMPLS = {"ctrl": "xla", "xla_bf16": "xla_bf16", "xla_bf16s": "xla_bf16s"}
 EXTRA = {"bf16h": ["data.hbm_dtype=bfloat16"]}
 IMPLS["bf16h"] = "xla_bf16"
 SEEDS = (0, 1, 2, 3)
-OVERLAP = 0.1  # target pairwise Bayes error
+# Overridable: the overlap knob calibrates the PAIRWISE SUPERVISED Bayes
+# error of an optimal 1-D projection; unsupervised pixel-space clustering
+# needs far smaller values to see any structure (at 0.1 the class-mean
+# separation is 0.18 vs a per-image noise radius of sigma*sqrt(d)=2.8 —
+# every arm measured purity ~= the 0.1 random floor). 0.001 with the g4
+# orthonormal-smooth generator lands mid-range (purity 0.376 / NMI 0.343
+# at 40 epochs, measured on-chip) — maximum sensitivity to a recipe
+# error in either direction. Calibration trail:
+# experiments/results/attn_dtype_quality_v2/calibration.json.
+OVERLAP = float(os.environ.get("QUALITY_V2_OVERLAP", "0.001"))
 
 
 def run_one(impl: str, seed: int) -> dict:

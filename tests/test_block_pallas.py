@@ -14,10 +14,17 @@ def _xla_block_params_to_fused(params):
     return {
         "ln1_scale": params["LayerNorm_0"]["scale"],
         "ln1_bias": params["LayerNorm_0"]["bias"],
-        "qkv_kernel": params["Attention_0"]["Dense_0"]["kernel"],
-        "qkv_bias": params["Attention_0"]["Dense_0"]["bias"],
-        "proj_kernel": params["Attention_0"]["Dense_1"]["kernel"],
-        "proj_bias": params["Attention_0"]["Dense_1"]["bias"],
+        # Attention stores separate q/k/v projections (layout-copy fix,
+        # models/vit.py); the fused kernel wants the packed [D, 3D] matrix
+        "qkv_kernel": jnp.concatenate(
+            [params["Attention_0"][nm]["kernel"] for nm in ("query", "key", "value")],
+            axis=1,
+        ),
+        "qkv_bias": jnp.concatenate(
+            [params["Attention_0"][nm]["bias"] for nm in ("query", "key", "value")]
+        ),
+        "proj_kernel": params["Attention_0"]["Dense_0"]["kernel"],
+        "proj_bias": params["Attention_0"]["Dense_0"]["bias"],
         "ln2_scale": params["LayerNorm_1"]["scale"],
         "ln2_bias": params["LayerNorm_1"]["bias"],
         "fc1_kernel": params["Mlp_0"]["Dense_0"]["kernel"],

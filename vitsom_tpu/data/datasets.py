@@ -362,13 +362,15 @@ def make_synthetic(cfg: DataConfig, num_classes_hint: int = 10) -> ArraySplits:
         cache_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), ".synthetic_cache")
-        # _g2: generator version — bump whenever gen() numerics change so
+        # _g4: generator version — bump whenever gen() numerics change so
         # stale on-disk caches (older generator streams) are never reused
+        # (g3: low-frequency class directions in overlap mode; g4: QR-
+        # orthonormalized within the smooth span)
         tag = (
             f"{cfg.dataset}_{_NATIVE_HW.get(cfg.dataset, cfg.input_size)}"
             f"x{cfg.num_channels}"
             f"_k{max(cfg.num_classes, num_classes_hint)}_n{n_train}"
-            f"_ov{getattr(cfg, 'synthetic_overlap', 0.0)}_g2"
+            f"_ov{getattr(cfg, 'synthetic_overlap', 0.0)}_g4"
         )
         cache_path = os.path.join(cache_dir, tag + ".npz")
         if os.path.exists(cache_path):
@@ -401,8 +403,33 @@ def make_synthetic(cfg: DataConfig, num_classes_hint: int = 10) -> ArraySplits:
         sigma = 0.1  # ~25/255 per pixel: far above uint8 quantization noise
         delta = np.sqrt(2.0) * sigma * float(_norm.isf(overlap))
         d = h * w * c
-        dirs = rng.normal(size=(k, d)).astype(np.float32)
-        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        # LOW-FREQUENCY class directions (g3): coarse 4x4-per-channel noise
+        # bilinearly upsampled to [h, w], then unit-normalized. Per-pixel
+        # amplitude and the pairwise-Bayes-error calibration are unchanged
+        # (unit directions, near-orthogonal), but the signal now survives
+        # the classification augmentation stack: RandomResizedCrop's
+        # resampling annihilates white-noise directions (every augmented cls
+        # calibration at overlaps 0.1/0.02/0.005 scored the 0.097 random
+        # floor while the un-augmented clustering task at 0.001 scored
+        # purity 0.83), whereas a spatially smooth field passes through
+        # bilinear resize nearly losslessly and a partial crop of it stays
+        # class-informative.
+        from scipy.ndimage import zoom as _zoom
+
+        coarse = rng.normal(size=(k, 4, 4, c)).astype(np.float32)
+        dirs = _zoom(coarse, (1, h / 4.0, w / 4.0, 1), order=1).reshape(k, d)
+        # (g4) ORTHONORMALIZE within the smooth span: QR on dirs^T yields k
+        # exactly-orthonormal linear combinations of the k smooth fields
+        # (combinations of smooth fields stay smooth, so augmentation
+        # robustness is preserved). Raw upsampled 4x4 coarse noise has only
+        # 16*c degrees of freedom, so on 1-channel datasets k=10 unit
+        # directions overlapped heavily and the pairwise-separation
+        # calibration silently broke (measured on-chip: un-augmented
+        # clustering purity at ov=0.001 fell 0.83 -> 0.11 going white-noise
+        # -> raw-smooth dirs). QR restores the exact delta*sqrt(2) pairwise
+        # mean separation the Bayes-error solve assumes.
+        q_mat, _ = np.linalg.qr(dirs.T.astype(np.float64))
+        dirs = np.ascontiguousarray(q_mat.T).astype(np.float32)
         means = 0.5 + delta * dirs.reshape(k, h, w, c)
 
         def gen(n):

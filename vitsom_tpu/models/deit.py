@@ -56,10 +56,23 @@ class PreNormTransformer(nn.Module):
         x = x.astype(self.dtype)
         for _ in range(self.depth):
             y = nn.LayerNorm(dtype=self.dtype)(x)
-            qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype)(y)
-            b, n, _ = y.shape
-            qkv = qkv.reshape(b, n, 3, self.heads, self.head_dim)
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            b, n, cdim = y.shape
+            # Separate q/k/v projections instead of a fused qkv Dense:
+            # slicing the packed [B, N, 3, H, hd] tensor forces a per-block
+            # 5-D relayout copy + 3 strided slices on TPU (profiled ~11% of
+            # the emb-192 cls step in models/vit.py — same shapes here).
+            # Init parity: same xavier-uniform family the fused [C, 3*inner]
+            # matrix would use, fan_avg rescaled to the fused fan.
+            fused_fan = nn.initializers.variance_scaling(
+                (cdim + inner) / (cdim + 3 * inner), "fan_avg", "uniform"
+            )
+            q, k, v = (
+                nn.Dense(
+                    inner, use_bias=False, dtype=self.dtype,
+                    kernel_init=fused_fan, name=f"{nm}_{_}",
+                )(y).reshape(b, n, self.heads, self.head_dim)
+                for nm in ("query", "key", "value")
+            )
             scores = jnp.einsum(
                 "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
             ) * self.head_dim**-0.5
@@ -227,7 +240,7 @@ def make_deit_train_step(cfg: Config, model: DeiT, tx, lr_schedule):
     alpha = cfg.distillation.alpha
     temp = cfg.distillation.temperature
     hard = cfg.distillation.hard
-    base_key = jax.random.key(cfg.train.seed + 7919)
+    base_key = steps_lib.dropout_base_key(cfg.train.seed + 7919)
 
     def loss_fn(params, batch, step):
         x, y = batch["image"], batch["label"]

@@ -40,6 +40,22 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Optional[Any] = None
 
 
+def dropout_base_key(seed: int) -> jax.Array:
+    """Base key for the per-step dropout mask streams.
+
+    Uses the ``rbg`` PRNG (XLA RngBitGenerator — the TPU hardware RNG)
+    instead of JAX's default threefry: threefry costs ~dozens of VPU ops
+    per mask bit and XLA fuses that generation into the adjacent dot
+    fusions — profiled on the DeiT CIFAR step (12 blocks x 4 dropout
+    sites at p=0.1) at ~196 us for dot+Adam fusions that run at 16 us
+    without fused RNG. Dropout needs statistically independent mask
+    bits, not a counter-cryptographic stream, and stream-level parity
+    with the reference never existed (torch GPU dropout draws from
+    cuRAND Philox, a different sequence; reference ``models/deit.py:46``
+    relies on torch semantics only for the rate)."""
+    return jax.random.key(seed, impl="rbg")
+
+
 @dataclasses.dataclass(frozen=True)
 class StepStatics:
     """Compile-time constants derived from dataset size + config."""
@@ -311,7 +327,7 @@ def make_classifier_train_step(
 ):
     # swin/mobile_vit use stochastic-depth / dropout RNG during training
     stochastic = cfg.model_arch in ("swin", "deit", "mobile_vit")
-    base_key = jax.random.key(cfg.train.seed + 7919)
+    base_key = dropout_base_key(cfg.train.seed + 7919)
 
     def loss_fn(params, batch_stats, batch, step):
         variables = {"params": params}

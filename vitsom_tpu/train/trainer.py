@@ -650,7 +650,13 @@ class Trainer:
                     )
                 return epoch_fns[n]
 
-            key = jax.random.key(cfg.train.seed + 1000 * self.run_id)
+            # rbg (XLA RngBitGenerator -> TPU hardware RNG) for the in-scan
+            # RNG stream (epoch shuffle perms + the on-device augmentation
+            # stack): threefry mask/crop/erase bit generation was profiled at
+            # ~15% of the cls step as fused VPU work attributed to the key
+            # split (trainer.py step_keys) plus ~13% inside device_augment —
+            # see steps.dropout_base_key for the same rationale on dropout.
+            key = jax.random.key(cfg.train.seed + 1000 * self.run_id, impl="rbg")
             epoch_images = self.dm.steps_per_epoch * cfg.batch_size
             n_chips = max(1, self.mesh.devices.size)
             # Deferred-pull mode: when nothing on the host needs per-dispatch
