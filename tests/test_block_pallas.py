@@ -11,20 +11,29 @@ from vitsom_tpu.ops import block_pallas
 
 def _xla_block_params_to_fused(params):
     """Map the flax Block param tree onto the fused kernel's weight dict."""
+    attn = params["Attention_0"]
+    if "query" in attn:
+        # dim >= 128: separate q/k/v projections (layout-copy fix,
+        # models/vit.py); the fused kernel wants the packed [D, 3D] matrix
+        qkv_kernel = jnp.concatenate(
+            [attn[nm]["kernel"] for nm in ("query", "key", "value")], axis=1
+        )
+        qkv_bias = jnp.concatenate(
+            [attn[nm]["bias"] for nm in ("query", "key", "value")]
+        )
+        proj = attn["Dense_0"]
+    else:
+        # dim < 128: fused qkv Dense_0, projection Dense_1
+        qkv_kernel = attn["Dense_0"]["kernel"]
+        qkv_bias = attn["Dense_0"]["bias"]
+        proj = attn["Dense_1"]
     return {
         "ln1_scale": params["LayerNorm_0"]["scale"],
         "ln1_bias": params["LayerNorm_0"]["bias"],
-        # Attention stores separate q/k/v projections (layout-copy fix,
-        # models/vit.py); the fused kernel wants the packed [D, 3D] matrix
-        "qkv_kernel": jnp.concatenate(
-            [params["Attention_0"][nm]["kernel"] for nm in ("query", "key", "value")],
-            axis=1,
-        ),
-        "qkv_bias": jnp.concatenate(
-            [params["Attention_0"][nm]["bias"] for nm in ("query", "key", "value")]
-        ),
-        "proj_kernel": params["Attention_0"]["Dense_0"]["kernel"],
-        "proj_bias": params["Attention_0"]["Dense_0"]["bias"],
+        "qkv_kernel": qkv_kernel,
+        "qkv_bias": qkv_bias,
+        "proj_kernel": proj["kernel"],
+        "proj_bias": proj["bias"],
         "ln2_scale": params["LayerNorm_1"]["scale"],
         "ln2_bias": params["LayerNorm_1"]["bias"],
         "fc1_kernel": params["Mlp_0"]["Dense_0"]["kernel"],

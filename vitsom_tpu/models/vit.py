@@ -88,28 +88,45 @@ class Attention(nn.Module):
     def __call__(self, x, return_attn: bool = False):
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
-        # Three separate projections instead of the reference's fused qkv
-        # Linear (``models/vit.py:23``): slicing a packed [B, N, 3, H, hd]
-        # tensor forced a per-block 5-D relayout copy + three strided
-        # slices on TPU (profiled at ~11% of the CIFAR cls step; 192 is
-        # not lane-tile aligned, so minor-dim splits copy too). Each dot
-        # now feeds the attention einsum directly. Init parity: kernels
-        # draw from the SAME xavier-uniform distribution the fused
-        # [C, 3*dim] matrix would (fan_avg scaled by (c+dim)/(c+3*dim)).
-        fused_fan_init = nn.initializers.variance_scaling(
-            (c + self.dim) / (c + 3 * self.dim), "fan_avg", "uniform"
-        )
-        q, k, v = (
-            nn.Dense(
-                self.dim,
+        # QKV projection layout is dim-adaptive (both measured on v5e):
+        # - dim >= 128: three separate q/k/v projections instead of the
+        #   reference's fused qkv Linear (``models/vit.py:23``) — slicing
+        #   the packed [B, N, 3, H, hd] tensor forced a per-block 5-D
+        #   relayout copy + three strided slices (profiled at ~11% of the
+        #   emb-192 CIFAR cls step; 192 is not lane-tile aligned, so
+        #   minor-dim splits copy too). Each dot feeds the attention einsum
+        #   directly. Init parity: kernels draw from the SAME xavier-uniform
+        #   distribution the fused [C, 3*dim] matrix would (fan_avg scaled
+        #   by (c+dim)/(c+3*dim)).
+        # - dim < 128 (sub-lane-width): one fused matmul wins — the
+        #   relayout copy is negligible at these sizes (~0.4 MB at emb 16)
+        #   while three separate sub-tile matmuls pad 3x the lanes
+        #   (family-bench A/B at emb 16: 86.1k img/s fused vs 80.6k split).
+        if self.dim >= 128:
+            fused_fan_init = nn.initializers.variance_scaling(
+                (c + self.dim) / (c + 3 * self.dim), "fan_avg", "uniform"
+            )
+            q, k, v = (
+                nn.Dense(
+                    self.dim,
+                    use_bias=self.qkv_bias,
+                    kernel_init=fused_fan_init,
+                    bias_init=nn.initializers.zeros,
+                    dtype=self.dtype,
+                    name=nm,
+                )(x).reshape(b, n, self.num_heads, head_dim)
+                for nm in ("query", "key", "value")
+            )
+        else:
+            qkv = nn.Dense(
+                self.dim * 3,
                 use_bias=self.qkv_bias,
-                kernel_init=fused_fan_init,
+                kernel_init=xavier_uniform(),
                 bias_init=nn.initializers.zeros,
                 dtype=self.dtype,
-                name=nm,
-            )(x).reshape(b, n, self.num_heads, head_dim)
-            for nm in ("query", "key", "value")
-        )
+            )(x)
+            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         out, attn = attention_ops.multi_head_attention(
             q, k, v, impl=self.attn_impl, return_attn=return_attn
