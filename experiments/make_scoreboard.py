@@ -84,6 +84,10 @@ def main():
             quality = f"acc {row['accuracy']:.3f}"
         else:
             quality = ""
+        if row.get("note"):
+            # e.g. the DeiT random-teacher annotation (no resnet50.pth in
+            # the zero-egress image) — quality is architecture-parity only
+            quality = f"{quality} — {row['note']}" if quality else row["note"]
         print(
             f"| {label} | {base_s:.1f} s | **{row['run_duration_s']:.1f} s** "
             f"| **{row['vs_baseline']:.2f}×** "
