@@ -264,7 +264,7 @@ def run_one(name: str, spec: dict) -> dict:
     return row
 
 
-def wait_healthy(max_wait: float = 1800.0) -> dict:
+def wait_healthy(max_wait: float = 3600.0) -> dict:
     waited = 0.0
     while True:
         h = probe_health()
@@ -294,6 +294,19 @@ def main():
         if warm_info:
             print(json.dumps(warm_info), flush=True)
         health = wait_healthy()
+        if not health.get("ok"):
+            # NEVER time a row in a degraded window: the old behavior ran
+            # the timed row anyway once wait_healthy exceeded max_wait,
+            # measuring the tunnel instead of the framework — and a
+            # degraded row OVERWRITES the summary whenever the git SHA
+            # differs (the keep-best gate only compares same-SHA rows).
+            # Record the skip and move on; a later sweep re-records it.
+            row = {"name": name, "error": "no healthy window",
+                   "health_before": health, **warm_info}
+            print(json.dumps(row), flush=True)
+            with open(os.path.join(OUT_DIR, "attempts.jsonl"), "a") as f:
+                f.write(json.dumps(row) + "\n")
+            continue
         row = run_one(name, ROWS[name])
         row.update(warm_info)
         row["health_before"] = health
