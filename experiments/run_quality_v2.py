@@ -40,17 +40,25 @@ SEEDS = (0, 1, 2, 3)
 # error in either direction. Calibration trail:
 # experiments/results/attn_dtype_quality_v2/calibration.json.
 OVERLAP = float(os.environ.get("QUALITY_V2_OVERLAP", "0.001"))
+# "g2" (white-noise dirs; the seed-stable un-augmented operating point) or
+# "g4" (smooth-span; collapses on ~half the seeds at ov=0.001 — see
+# attn_dtype_quality_v2/VERDICT.md). Non-default runs land in a subdir.
+GEN = os.environ.get("QUALITY_V2_GEN", "g4")
+EPOCHS = os.environ.get("QUALITY_V2_EPOCHS", "40")
+SUBDIR = os.environ.get("QUALITY_V2_SUBDIR", "")
 
 
 def run_one(impl: str, seed: int) -> dict:
-    os.makedirs(OUT_DIR, exist_ok=True)
-    out_json = os.path.join(OUT_DIR, f"{impl}_s{seed}.json")
+    out_dir = os.path.join(OUT_DIR, SUBDIR) if SUBDIR else OUT_DIR
+    os.makedirs(out_dir, exist_ok=True)
+    out_json = os.path.join(out_dir, f"{impl}_s{seed}.json")
     cmd = [
         sys.executable, "experiments/benchmarking/train.py",
         "--config", "configs/vit_som/vit_som_mnist.yaml",
-        "--synthetic", "--epochs", "40", "--runs", "1",
+        "--synthetic", "--epochs", EPOCHS, "--runs", "1",
         "--override", "som.map_size=[24,24]",
         "--override", f"data.synthetic_overlap={OVERLAP}",
+        "--override", f"data.synthetic_gen={GEN}",
         "--override", "train.use_pallas_som=true",
         "--override", "train.compute_dtype=bfloat16",
         "--override", "train.remat_blocks=false",
@@ -84,7 +92,8 @@ def main():
     else:
         jobs = [(impl, s) for impl in IMPLS for s in SEEDS]
     rows = [run_one(impl, s) for impl, s in jobs]
-    with open(os.path.join(OUT_DIR, "summary.json"), "w") as f:
+    out_dir = os.path.join(OUT_DIR, SUBDIR) if SUBDIR else OUT_DIR
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(rows, f, indent=2)
 
 

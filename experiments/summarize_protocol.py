@@ -27,12 +27,15 @@ def main():
     for p in paths:
         with open(p) as f:
             d = json.load(f)
+        # `or [None]` (not a dict default): classification-protocol JSONs
+        # record EMPTY lists for unused metrics, which a plain .get default
+        # would not cover (ADVICE r4)
         rows.append({
             "file": os.path.basename(p),
             "run_duration_s": d["run_duration"][0],
-            "purity": d.get("purity", [None])[0],
-            "nmi": d.get("nmi", [None])[0],
-            "img_per_s": d.get("images_per_sec_per_chip", [None])[0],
+            "purity": (d.get("purity") or [None])[0],
+            "nmi": (d.get("nmi") or [None])[0],
+            "img_per_s": (d.get("images_per_sec_per_chip") or [None])[0],
         })
     if not rows:
         print(f"no full_protocol_{tag}_*.json under {RESULTS}")
@@ -43,7 +46,9 @@ def main():
         "n": len(rows),
         "runs_s": [round(float(d), 1) for d in durs],
         "mean_s": round(float(durs.mean()), 1),
-        "std_s": round(float(durs.std(ddof=1)), 1) if len(rows) > 1 else 0.0,
+        # ddof=0 (population std) matches the reference's np.std aggregation
+        # that produced the cited ±10.9 s (train_vit_som.py:126) — ADVICE r4
+        "std_s": round(float(durs.std(ddof=0)), 1) if len(rows) > 1 else 0.0,
         "baseline_s": BASELINE_S,
         "vs_baseline_mean": round(BASELINE_S / float(durs.mean()), 2),
         "rows": rows,

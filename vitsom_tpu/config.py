@@ -185,6 +185,14 @@ class DataConfig:
     # quality-protocol generator where purity cannot saturate at 1.0
     # (datasets.make_synthetic)
     synthetic_overlap: float = 0.0
+    # Class-direction generator for overlap mode (datasets.make_synthetic):
+    # "g4" (default) = low-frequency fields QR-orthonormalized within the
+    # smooth span (survives the augmentation stack — the cls operating
+    # point); "g2" = white-noise unit directions (near-orthogonal in pixel
+    # dim; the STABLE un-augmented clustering operating point — the g4
+    # clustering task at ov=0.001 collapses to near-floor purity on ~half
+    # the training seeds, attn_dtype_quality_v2/VERDICT.md)
+    synthetic_gen: str = "g4"
     # Generate the synthetic stand-in as an OBJECT array of variable-size
     # images (faithful to jpg-dir sources like flowers-17), forcing the
     # host-PIL fork-pool + chunked-prefetch stream path instead of

@@ -370,7 +370,8 @@ def make_synthetic(cfg: DataConfig, num_classes_hint: int = 10) -> ArraySplits:
             f"{cfg.dataset}_{_NATIVE_HW.get(cfg.dataset, cfg.input_size)}"
             f"x{cfg.num_channels}"
             f"_k{max(cfg.num_classes, num_classes_hint)}_n{n_train}"
-            f"_ov{getattr(cfg, 'synthetic_overlap', 0.0)}_g4"
+            f"_ov{getattr(cfg, 'synthetic_overlap', 0.0)}"
+            f"_{getattr(cfg, 'synthetic_gen', 'g4')}"
         )
         cache_path = os.path.join(cache_dir, tag + ".npz")
         if os.path.exists(cache_path):
@@ -414,22 +415,35 @@ def make_synthetic(cfg: DataConfig, num_classes_hint: int = 10) -> ArraySplits:
         # purity 0.83), whereas a spatially smooth field passes through
         # bilinear resize nearly losslessly and a partial crop of it stays
         # class-informative.
-        from scipy.ndimage import zoom as _zoom
+        if getattr(cfg, "synthetic_gen", "g4") == "g2":
+            # (g2) white-noise unit class directions: near-orthogonal in
+            # pixel dim, maximally stable for the UN-AUGMENTED clustering
+            # quality protocol (the g4 smooth-span task at ov=0.001
+            # collapses to near-floor purity on ~half the training seeds —
+            # measured, attn_dtype_quality_v2). Annihilated by bilinear
+            # resampling, so NOT usable under the cls augmentation stack.
+            dirs = rng.normal(size=(k, d)).astype(np.float32)
+            dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        else:
+            from scipy.ndimage import zoom as _zoom
 
-        coarse = rng.normal(size=(k, 4, 4, c)).astype(np.float32)
-        dirs = _zoom(coarse, (1, h / 4.0, w / 4.0, 1), order=1).reshape(k, d)
-        # (g4) ORTHONORMALIZE within the smooth span: QR on dirs^T yields k
-        # exactly-orthonormal linear combinations of the k smooth fields
-        # (combinations of smooth fields stay smooth, so augmentation
-        # robustness is preserved). Raw upsampled 4x4 coarse noise has only
-        # 16*c degrees of freedom, so on 1-channel datasets k=10 unit
-        # directions overlapped heavily and the pairwise-separation
-        # calibration silently broke (measured on-chip: un-augmented
-        # clustering purity at ov=0.001 fell 0.83 -> 0.11 going white-noise
-        # -> raw-smooth dirs). QR restores the exact delta*sqrt(2) pairwise
-        # mean separation the Bayes-error solve assumes.
-        q_mat, _ = np.linalg.qr(dirs.T.astype(np.float64))
-        dirs = np.ascontiguousarray(q_mat.T).astype(np.float32)
+            coarse = rng.normal(size=(k, 4, 4, c)).astype(np.float32)
+            dirs = _zoom(
+                coarse, (1, h / 4.0, w / 4.0, 1), order=1
+            ).reshape(k, d)
+            # (g4) ORTHONORMALIZE within the smooth span: QR on dirs^T
+            # yields k exactly-orthonormal linear combinations of the k
+            # smooth fields (combinations of smooth fields stay smooth, so
+            # augmentation robustness is preserved). Raw upsampled 4x4
+            # coarse noise has only 16*c degrees of freedom, so on
+            # 1-channel datasets k=10 unit directions overlapped heavily
+            # and the pairwise-separation calibration silently broke
+            # (measured on-chip: un-augmented clustering purity at ov=0.001
+            # fell 0.83 -> 0.11 going white-noise -> raw-smooth dirs). QR
+            # restores the exact delta*sqrt(2) pairwise mean separation the
+            # Bayes-error solve assumes.
+            q_mat, _ = np.linalg.qr(dirs.T.astype(np.float64))
+            dirs = np.ascontiguousarray(q_mat.T).astype(np.float32)
         means = 0.5 + delta * dirs.reshape(k, h, w, c)
 
         def gen(n):
