@@ -211,6 +211,32 @@ def git_sha() -> str:
         return "unknown"
 
 
+def code_sha() -> str:
+    """Short SHA of the last commit touching benchmark-RELEVANT code — rows
+    recorded across doc-only commits still group as same-code for the
+    keep-best gate and the runs variance arrays."""
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%h", "--",
+             "vitsom_tpu", "experiments/benchmarking", "configs"],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return out or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def same_code(a: dict, b: dict) -> bool:
+    """Same benchmark-relevant code + recipe (rows predating the code_sha
+    field fall back to their HEAD sha, which equals code_sha for rows
+    recorded when the code paths were last touched)."""
+    return (
+        (a.get("code_sha") or a.get("git_sha"))
+        == (b.get("code_sha") or b.get("git_sha"))
+        and a.get("overrides") == b.get("overrides")
+    )
+
+
 def run_one(name: str, spec: dict) -> dict:
     os.makedirs(OUT_DIR, exist_ok=True)
     out_json = os.path.join(OUT_DIR, f"{name}.json")
@@ -250,6 +276,7 @@ def run_one(name: str, spec: dict) -> dict:
         "name": name,
         "config": spec["config"],
         "git_sha": git_sha(),
+        "code_sha": code_sha(),
         "overrides": spec.get("overrides", []),
         **({"note": spec["note"]} if "note" in spec else {}),
         "run_duration_s": res["run_duration"][0],
@@ -287,8 +314,7 @@ def collect_runs(name: str, row: dict) -> None:
                     a.get("name") == name
                     and "error" not in a
                     and not a.get("degraded_window")
-                    and a.get("git_sha") == row.get("git_sha")
-                    and a.get("overrides") == row.get("overrides")
+                    and same_code(a, row)
                 ):
                     durs.append(a["run_duration_s"])
     if row.get("run_duration_s") is not None and row["run_duration_s"] not in durs:
@@ -387,8 +413,7 @@ def main():
         if (
             prev
             and "error" not in prev
-            and prev.get("git_sha") == row.get("git_sha")
-            and prev.get("overrides") == row.get("overrides")
+            and same_code(prev, row)
             and prev.get("vs_baseline", 0) >= row.get("vs_baseline", 0)
         ):
             print(
