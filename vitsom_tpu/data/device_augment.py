@@ -651,4 +651,30 @@ def make_device_train_augment(data_cfg: DataConfig) -> Callable:
             x = _random_erase(keys[6], x, aug.reprob, aug.remode, aug.recount)
         return x
 
-    return fn
+    def chunked(key, images):
+        # HBM guard: the dense no-gather warp materializes [B, S*S, max(H,S)]
+        # f32 weight tensors plus a [B, S*S, H, C] contraction temp. At the
+        # 32x32 shapes every cls family but MobileViT uses, that is ~16 MB;
+        # at MobileViT's input_size=224 it is 5.36 GB PER WARP at B=128 and
+        # the epoch program demanded 43.5 GB of HBM (compile-time OOM, see
+        # family_bench mobile_vit logs). Running the identical augment body
+        # through lax.map over batch chunks bounds the live footprint to
+        # ~3.5 GB while keeping the whole stack on device in one compiled
+        # body; for small S the chunk covers the full batch and this is the
+        # plain path. Chunking only re-shapes the key-split structure; the
+        # per-image augmentation distribution is unchanged.
+        b, h, w, _ = images.shape
+        c_out = images.shape[-1]
+        per_img = size * size * max(h, size) * 4 * (2 + c_out)
+        chunk = max(1, min(b, (3584 * 2**20) // max(per_img, 1)))
+        while b % chunk:
+            chunk -= 1
+        if chunk == b:
+            return fn(key, images)
+        n = b // chunk
+        imgs = images.reshape(n, chunk, h, w, c_out)
+        keys = jax.random.split(key, n)
+        out = jax.lax.map(lambda ki: fn(ki[0], ki[1]), (keys, imgs))
+        return out.reshape(b, size, size, c_out)
+
+    return chunked
