@@ -162,6 +162,7 @@ ROWS = {
             "train.compute_dtype=bfloat16",
             "train.epochs_per_dispatch=10",
             "train.fused_val=false",
+            "train.remat_blocks=true",
         ],
     },
 }

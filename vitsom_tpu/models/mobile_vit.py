@@ -183,25 +183,37 @@ class MobileViTS(nn.Module):
 
     num_classes: int = 1000
     dtype: Any = jnp.float32  # compute dtype; params/BN stats stay f32
+    # rematerialize every block in the backward pass: at the reference's
+    # input_size=224 / batch 128 the stored conv residuals are ~7 GB and the
+    # compiled epoch program crashed the v5e worker at first execution
+    # (family_bench mobile_vit log, r5); remat trades that for replay FLOPs
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         dt = self.dtype
-        x = ConvBnSiLU(16, kernel=3, stride=2, dtype=dt)(x, deterministic)
-        x = MV2Block(32, stride=1, dtype=dt)(x, deterministic)
+        if self.remat:
+            # deterministic (arg 2 incl. the module) is a static bool
+            CBS = nn.remat(ConvBnSiLU, static_argnums=(2,))
+            MV2 = nn.remat(MV2Block, static_argnums=(2,))
+            MVB = nn.remat(MobileViTBlock, static_argnums=(2,))
+        else:
+            CBS, MV2, MVB = ConvBnSiLU, MV2Block, MobileViTBlock
+        x = CBS(16, kernel=3, stride=2, dtype=dt)(x, deterministic)
+        x = MV2(32, stride=1, dtype=dt)(x, deterministic)
 
-        x = MV2Block(64, stride=2, dtype=dt)(x, deterministic)
-        x = MV2Block(64, stride=1, dtype=dt)(x, deterministic)
-        x = MV2Block(64, stride=1, dtype=dt)(x, deterministic)
+        x = MV2(64, stride=2, dtype=dt)(x, deterministic)
+        x = MV2(64, stride=1, dtype=dt)(x, deterministic)
+        x = MV2(64, stride=1, dtype=dt)(x, deterministic)
 
-        x = MV2Block(96, stride=2, dtype=dt)(x, deterministic)
-        x = MobileViTBlock(96, 144, depth=2, dtype=dt)(x, deterministic)
+        x = MV2(96, stride=2, dtype=dt)(x, deterministic)
+        x = MVB(96, 144, depth=2, dtype=dt)(x, deterministic)
 
-        x = MV2Block(128, stride=2, dtype=dt)(x, deterministic)
-        x = MobileViTBlock(128, 192, depth=4, dtype=dt)(x, deterministic)
+        x = MV2(128, stride=2, dtype=dt)(x, deterministic)
+        x = MVB(128, 192, depth=4, dtype=dt)(x, deterministic)
 
-        x = MV2Block(160, stride=2, dtype=dt)(x, deterministic)
-        x = MobileViTBlock(160, 240, depth=3, dtype=dt)(x, deterministic)
+        x = MV2(160, stride=2, dtype=dt)(x, deterministic)
+        x = MVB(160, 240, depth=3, dtype=dt)(x, deterministic)
 
         x = ConvBnSiLU(640, kernel=1, dtype=dt)(x, deterministic)
         # pool + head in f32 so logits/CE keep full precision
@@ -220,4 +232,8 @@ def build_mobilevit_s(cfg: Config) -> MobileViTS:
         if cfg.train.compute_dtype == "bfloat16"
         else jnp.float32
     )
-    return MobileViTS(num_classes=cfg.data.num_classes, dtype=dtype)
+    return MobileViTS(
+        num_classes=cfg.data.num_classes,
+        dtype=dtype,
+        remat=cfg.train.remat_blocks,
+    )
