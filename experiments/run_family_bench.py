@@ -160,7 +160,12 @@ ROWS = {
             "data.synthetic_size=50000",
             "data.synthetic_overlap=0.1",
             "train.compute_dtype=bfloat16",
-            "train.epochs_per_dispatch=10",
+            # epochs_per_dispatch=1: the 10-epoch grouping wraps the
+            # step scan + chunked-augment map in a third loop level; that
+            # triple-nested program crashes the v5e worker at first
+            # execution, while the scan(step{map(augment)}) shape is
+            # probe-verified good (r5 mobile_vit triage)
+            "train.epochs_per_dispatch=1",
             "train.fused_val=false",
             "train.remat_blocks=true",
         ],
