@@ -168,6 +168,11 @@ ROWS = {
             "train.epochs_per_dispatch=1",
             "train.fused_val=false",
             "train.remat_blocks=true",
+            # 10 sub-epoch dispatches of 39 steps (~25 s on-device each):
+            # the tunneled worker dies when ONE dispatch executes >~3-4 min
+            # (pure-matmul repro, r5 triage) and a MobileViT 224^2 epoch
+            # runs ~230 s on-device
+            "train.scan_splits=10",
         ],
     },
 }

@@ -290,6 +290,15 @@ class TrainConfig:
     # stream mode: train steps executed per device dispatch (amortizes the
     # per-dispatch round-trip on tunneled backends; 1 = step-per-dispatch)
     steps_per_dispatch: int = 8
+    # scan mode: split each epoch's step scan into N separate dispatches
+    # (one gather program + one reusable K-step chunk program). The
+    # tunneled v5e worker dies when a SINGLE dispatch executes for more
+    # than roughly 3-4 minutes (measured: a ~215 s pure-matmul program
+    # crashes it, a ~21 s one is fine — r5 mobile_vit triage), so epochs
+    # whose on-device time approaches the ceiling (MobileViT: ~0.6 s/step
+    # x 390 steps) must be sub-divided. 1 = whole-epoch dispatch (default);
+    # forces epochs_per_dispatch=1 and disables fused_val when > 1.
+    scan_splits: int = 1
     # observability: trace this epoch with jax.profiler (-1 = off)
     profile_epoch: int = -1
     # log input/reconstruction/decoded-prototype image grids to TensorBoard

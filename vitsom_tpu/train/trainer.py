@@ -604,6 +604,110 @@ class Trainer:
             out_shardings=(ss, ss),
         )
 
+    def _build_split_epoch_fn(self, augment_fn, split: int):
+        """Scan-mode epoch as ``ceil(steps/K)`` SEPARATE dispatches
+        (``train.scan_splits``): one gather program shuffles + stacks the
+        epoch's batches, then ONE reusable jitted K-step chunk program is
+        dispatched per slice. Needed because the tunneled v5e worker
+        crashes when a single program executes for more than ~3-4 minutes
+        (a ~215 s pure-matmul dispatch reproduces it; r5 mobile_vit
+        triage) — MobileViT's 224^2 epochs run ~230 s on-device and must
+        be sub-divided. Same math as ``_build_epoch_fn`` with
+        ``n_epochs=1``: identical gather, augmentation placement and step
+        body; only the step-key derivation differs (``fold_in(aug_key,
+        step_index)`` instead of one ``split``), which changes the
+        realized random stream but not its distribution. Returns a
+        composite with the epoch-fn call signature ``(state, key, images,
+        labels) -> (state, mean_metrics, last_metrics)``."""
+        steps = self.dm.steps_per_epoch
+        bs = self.cfg.batch_size
+        train_step = self._train_step
+        mesh = self.mesh
+        K = max(1, steps // max(1, split))
+        while steps % K:
+            K -= 1
+        n_chunks = steps // K
+        ss = self._state_sharding
+        donate = (0,) if self.cfg.train.donate_state else ()
+
+        @jax.jit
+        def gather(key, images, labels):
+            flat = images.reshape(images.shape[0], -1)
+            perm_key, aug_key = jax.random.split(key)
+            perm = jax.random.permutation(perm_key, images.shape[0])[: steps * bs]
+            imgs = jnp.take(flat, perm, axis=0).reshape(steps, bs, -1)
+            lbls = jnp.take(labels, perm, axis=0).reshape(steps, bs)
+            stacked = mesh_lib.shard_stacked_batches(
+                {"image": imgs, "label": lbls}, mesh
+            )
+            return stacked["image"], stacked["label"], aug_key
+
+        sample_shape = tuple(self.dm.train.x.shape[1:])
+
+        def chunk(state, aug_key, imgs, lbls, j):
+            ci = jax.lax.dynamic_slice_in_dim(imgs, j * K, K, axis=0)
+            cl = jax.lax.dynamic_slice_in_dim(lbls, j * K, K, axis=0)
+            step_keys = jax.vmap(
+                lambda i: jax.random.fold_in(aug_key, i)
+            )(j * K + jnp.arange(K))
+
+            def body(state, xs):
+                step_key, img, lbl = xs
+                batch = {
+                    "image": img.reshape((bs,) + sample_shape),
+                    "label": lbl,
+                }
+                if augment_fn is not None:
+                    batch = {
+                        "image": augment_fn(step_key, batch["image"]),
+                        "label": batch["label"],
+                    }
+                state, m = train_step(state, batch)
+                return state, m
+
+            state, ms = jax.lax.scan(
+                body, state, (step_keys, ci, cl),
+                unroll=max(1, self.cfg.train.scan_unroll),
+            )
+            return state, ms
+
+        chunk_jit = jax.jit(chunk, donate_argnums=donate,
+                            out_shardings=(ss, ss))
+
+        @jax.jit
+        def combine(mss):
+            # per-epoch mean over all steps (equal-K chunks) + last step;
+            # leaves keep the [n_epochs]=1 leading dim the host loop indexes
+            mean_m = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs).mean().reshape(1), *mss
+            )
+            last_m = jax.tree_util.tree_map(
+                lambda x: x[-1].reshape(1), mss[-1]
+            )
+            return mean_m, last_m
+
+        def epoch_fn(state, key, images, labels):
+            imgs, lbls, aug_key = gather(key, images, labels)
+            mss = []
+            for j in range(n_chunks):
+                state, ms = chunk_jit(state, aug_key, imgs, lbls,
+                                      jnp.int32(j))
+                mss.append(ms)
+            mean_m, last_m = combine(tuple(mss))
+            return state, mean_m, last_m
+
+        epoch_fn.is_split = True
+
+        def memory_analysis(state, key, images, labels):
+            out = jax.eval_shape(gather, key, images, labels)
+            return chunk_jit.lower(
+                state, out[2], out[0], out[1],
+                jax.ShapeDtypeStruct((), jnp.int32),
+            ).compile().memory_analysis()
+
+        epoch_fn.memory_analysis = memory_analysis
+        return epoch_fn
+
     # -- public API ----------------------------------------------------------
 
     def fit(self, progress: bool = True,
@@ -672,11 +776,18 @@ class Trainer:
                     self._device_aug_fn = make_device_train_augment(cfg.data)
                 aug_fn = self._device_aug_fn
             e_disp = max(1, cfg.train.epochs_per_dispatch)
+            scan_splits = max(1, cfg.train.scan_splits)
+            if scan_splits > 1:
+                # sub-epoch dispatching (see _build_split_epoch_fn): one
+                # epoch is already several dispatches, so epoch grouping
+                # and the fused val pass don't apply
+                e_disp = 1
 
             # fused on-device validation (see _build_epoch_fn/val_steps):
             # uniform single-process classification with per-epoch eval
             fused_val = (
-                cfg.train.fused_val
+                scan_splits == 1
+                and cfg.train.fused_val
                 and cfg.classification
                 and self.dm.val is not None
                 and jax.process_count() == 1
@@ -717,11 +828,16 @@ class Trainer:
                 # instance-level cache (see __init__._epoch_fn_cache): a
                 # timed fit() after fit(compile_only=True) + reset_state()
                 # must dispatch the SAME warm executables
-                k = (n, val_steps, aug_fn is not None)
+                k = (n, val_steps, aug_fn is not None, scan_splits)
                 if k not in self._epoch_fn_cache:
-                    self._epoch_fn_cache[k] = self._build_epoch_fn(
-                        augment_fn=aug_fn, n_epochs=n, val_steps=val_steps
-                    )
+                    if scan_splits > 1:
+                        self._epoch_fn_cache[k] = self._build_split_epoch_fn(
+                            augment_fn=aug_fn, split=scan_splits
+                        )
+                    else:
+                        self._epoch_fn_cache[k] = self._build_epoch_fn(
+                            augment_fn=aug_fn, n_epochs=n, val_steps=val_steps
+                        )
                 return self._epoch_fn_cache[k]
 
             # rbg (XLA RngBitGenerator -> TPU hardware RNG) for the in-scan
@@ -786,12 +902,22 @@ class Trainer:
                         else (self.state, sub, images, labels)
                     )
                     t_c = time.time()
-                    fn.lower(*args).compile()
-                    print(
-                        f"# compile-only: n={n} epoch program compiled+"
-                        f"cached in {time.time() - t_c:.1f}s",
-                        flush=True,
-                    )
+                    if getattr(fn, "is_split", False):
+                        # composite (gather + chunk + combine programs):
+                        # the first call below compiles all three; there is
+                        # no single .lower target
+                        print(
+                            "# compile-only: split-epoch composite — "
+                            "compiling via first warm exec",
+                            flush=True,
+                        )
+                    else:
+                        fn.lower(*args).compile()
+                        print(
+                            f"# compile-only: n={n} epoch program compiled+"
+                            f"cached in {time.time() - t_c:.1f}s",
+                            flush=True,
+                        )
                     for i in range(3):
                         key, sub = jax.random.split(key)
                         t_e = time.time()
@@ -904,7 +1030,11 @@ class Trainer:
             )
 
             def _memory_probe(n=_probe_n, args=_probe_args):
-                return get_epoch_fn(n).lower(*args).compile().memory_analysis()
+                fn = get_epoch_fn(n)
+                if getattr(fn, "is_split", False):
+                    # chunk program = the big one in split mode
+                    return fn.memory_analysis(*args)
+                return fn.lower(*args).compile().memory_analysis()
 
             self._memory_probe = _memory_probe
             if fused_val:
