@@ -702,6 +702,11 @@ def make_device_train_augment(data_cfg: DataConfig) -> Callable:
         b, h, w, _ = images.shape
         c_out = images.shape[-1]
         per_img = size * size * max(h, size) * 4 * (2 + c_out)
+        # 3.5 GB budget -> chunk 8 at 224^2. Chunk 16 (7 GB) measured only
+        # 0.503 vs 0.530 s/step on the aug stack, and the extra ~4 GB of
+        # chunk-program temp OOM'd the timed mobile_vit run once the 6 GB
+        # f32 val set was cached on-device by the per-epoch validation
+        # (r5 triage) — the small chunk coexists with it.
         chunk = max(1, min(b, (3584 * 2**20) // max(per_img, 1)))
         while b % chunk:
             chunk -= 1
