@@ -379,3 +379,26 @@ def test_vit_som_learns_with_bf16_attention():
             first = float(m["train/recon_loss"])
     final = float(m["train/recon_loss"])
     assert final < 0.6 * first, (first, final)
+
+
+def test_scan_splits_sub_epoch_dispatch(tmp_path):
+    """train.scan_splits > 1 (sub-epoch dispatching, trainer.
+    _build_split_epoch_fn): same end state shape, falling loss, learning
+    signal — the path mobile_vit needs because the tunneled worker dies on
+    single dispatches over ~3-4 min (r5 triage)."""
+    import dataclasses
+
+    cfg = desom_cfg(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, scan_splits=4)
+    ).validate()
+    dm = build_datamodule(cfg)
+    trainer = Trainer(cfg, dm=dm)
+
+    result = trainer.fit()
+    m = trainer.evaluate()
+
+    assert result["final_step"] == dm.steps_per_epoch * cfg.total_epochs
+    losses = [v for _, v in trainer.logger.history["train/total_loss"]]
+    assert losses[-1] < losses[0]
+    assert m["purity"] > 0.12
