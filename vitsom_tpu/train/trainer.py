@@ -1169,6 +1169,12 @@ class Trainer:
         test loader from the in-memory model (``train_vit_som.py:100-112``)."""
         cfg = self.cfg
         if cfg.classification:
+            # release the cached per-epoch VAL device buffer before the
+            # test split materializes: at input_size=224 each f32 split is
+            # ~6 GB and holding both OOM'd the v5e during the mobile_vit
+            # final eval (r5); the val cache is not used past this point
+            if self.dm.val is not None and hasattr(self.dm.val, "_device_cache"):
+                self.dm.val._device_cache.clear()
             acc, prec, rec, f1, dt = eval_lib.evaluate_classification(
                 self.eval_fn(), self.state.params, self.dm,
                 temperature=self.current_temperature(),
